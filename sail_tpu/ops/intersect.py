@@ -1,0 +1,529 @@
+"""Ray–primitive intersection ops.
+
+TPU-native replacement for the reference's generated GLSL intersect megakernel
+(ref: src/shader/shape/shader.shape.js:28-52 and src/shader/shape/*.glsl).
+Each shape op is a pure elementwise function over N rays (Vec3 of flat
+arrays → VPU lanes); the scene dispatcher is a *static* Python loop over the
+scene's objects, so XLA compiles exactly the shapes the scene uses (the
+reference achieves the same by string-stitching only used plugins) and fuses
+the whole nearest-hit fold into a few VPU kernels.  Branches become masks:
+a missing hit is `t = MAX_DISTANCE`, never divergent control flow.
+
+Shadow rays reuse the same ops with `detail=False`, which skips normal/uv
+computation — the any-hit specialization of the closest-hit kernel.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..core import vecmath as vm
+from ..core.vecmath import Vec3
+from ..scene.geometry import BoxP, DiskP, FrustumP, HyperboloidP, ParaboloidP, SphereP
+
+TWO_PI = 2.0 * C.PI
+
+
+def to_object(v: Vec3) -> Vec3:
+    """World → object space, basis N=(0,1,0) S=(0,0,-1) T=(1,0,0): local z is
+    world up (ref: const/define.glsl:62-64, util/utility.glsl:1-3)."""
+    return Vec3(-v.z, v.x, v.y)
+
+
+def from_object(v: Vec3) -> Vec3:
+    return Vec3(v.y, v.z, -v.x)
+
+
+class Hit(NamedTuple):
+    """Per-ray intersection record (cf. GLSL `Intersect`, const/struct.glsl)."""
+    t: jax.Array
+    p: Vec3          # world hit point
+    ng: Vec3         # geometric normal, NOT reversed / flipped
+    dpdu: Vec3       # world tangent (shading frame seed)
+    u: jax.Array
+    v: jax.Array
+    # Cornell-box walls carry baked colors (shape/cornellbox.glsl:21-34).
+    sc_override: Vec3
+    use_override: jax.Array  # bool
+
+
+def _zeros_vec(shape):
+    z = jnp.zeros(shape, jnp.float32)
+    return Vec3(z, z, z)
+
+
+def miss(shape) -> Hit:
+    z = jnp.zeros(shape, jnp.float32)
+    zv = _zeros_vec(shape)
+    return Hit(jnp.full(shape, C.MAX_DISTANCE, jnp.float32), zv, zv, zv, z, z,
+               zv, jnp.zeros(shape, bool))
+
+
+def _finish(valid, t, p, ng, dpdu, u, v, shape, sc=None, use_sc=None) -> Hit:
+    t = jnp.where(valid, t, C.MAX_DISTANCE)
+    if sc is None:
+        sc = _zeros_vec(shape)
+        use_sc = jnp.zeros(shape, bool)
+    return Hit(t, p, ng, dpdu, u, v, sc, use_sc)
+
+
+def _safe_div(num, den, eps=1e-12):
+    return num / jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
+
+
+def _phi_of(x, y):
+    phi = jnp.arctan2(y, x)
+    return jnp.where(phi < 0.0, phi + TWO_PI, phi)
+
+
+# --------------------------------------------------------------------------
+# Sphere (ref: src/shader/shape/sphere.glsl)
+# --------------------------------------------------------------------------
+
+def sphere_intersect(ro: Vec3, rd: Vec3, s: SphereP, detail: bool = True) -> Hit:
+    shape = ro.shape
+    o = to_object(ro - s.center)
+    d = to_object(rd)
+
+    a = d.dot(d)
+    b = 2.0 * o.dot(d)
+    c2 = o.dot(o) - s.radius * s.radius
+    ok, t1, t2 = vm.quadratic(a, b, c2)
+    t = jnp.where(t1 < C.EPSILON, t2, t1)
+    valid = ok & (t2 >= C.EPSILON) & (t < C.MAX_DISTANCE)
+    if not detail:
+        return _finish(valid, t, _zeros_vec(shape), _zeros_vec(shape),
+                       _zeros_vec(shape), 0.0 * t, 0.0 * t, shape)
+
+    h = o + d * t
+    # Avoid the azimuthal singularity on the pole axis.
+    hx = jnp.where((h.x == 0.0) & (h.y == 0.0), 1e-5 * s.radius, h.x)
+    h = Vec3(hx, h.y, h.z)
+    phi = _phi_of(h.x, h.y)
+    u = phi / TWO_PI
+    cos_t = jnp.clip(h.z / s.radius, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    v = theta / C.PI
+
+    dpdu = Vec3(-TWO_PI * h.y, TWO_PI * h.x, jnp.zeros(shape, jnp.float32))
+    # Geometric normal: unit radial direction (== normalize(cross(dpdv,dpdu))
+    # away from the poles, but numerically robust everywhere).
+    ng = h * (1.0 / s.radius)
+
+    p = from_object(h) + s.center
+    return _finish(valid, t, p, from_object(ng), from_object(dpdu), u, v, shape)
+
+
+# --------------------------------------------------------------------------
+# Cube (ref: src/shader/shape/cube.glsl)
+# --------------------------------------------------------------------------
+
+def _slab(ro: Vec3, rd: Vec3, bmin: Vec3, bmax: Vec3):
+    inv = Vec3(_safe_div(1.0, rd.x), _safe_div(1.0, rd.y), _safe_div(1.0, rd.z))
+    tmin = (bmin - ro) * inv
+    tmax = (bmax - ro) * inv
+    t1 = Vec3(jnp.minimum(tmin.x, tmax.x), jnp.minimum(tmin.y, tmax.y),
+              jnp.minimum(tmin.z, tmax.z))
+    t2 = Vec3(jnp.maximum(tmin.x, tmax.x), jnp.maximum(tmin.y, tmax.y),
+              jnp.maximum(tmin.z, tmax.z))
+    return t1.max_component(), t2.min_component()
+
+
+def _box_face_normal(h: Vec3, bmin: Vec3, bmax: Vec3) -> Vec3:
+    """Face normal by nearest-bound comparison (ref: cube.glsl:25-39)."""
+    eps = 1e-4
+    zero = jnp.zeros_like(h.x)
+    one = jnp.ones_like(h.x)
+    nx = jnp.where(h.x < bmin.x + eps, -one, jnp.where(h.x > bmax.x - eps, one, zero))
+    ny = jnp.where(h.y < bmin.y + eps, -one, jnp.where(h.y > bmax.y - eps, one, zero))
+    nz = jnp.where(h.z < bmin.z + eps, -one, jnp.where(h.z > bmax.z - eps, one, zero))
+    # Priority x > y > z like the reference's if/else chain; default +z.
+    has_x = nx != 0.0
+    has_y = ny != 0.0
+    has_z = nz != 0.0
+    n = Vec3(
+        jnp.where(has_x, nx, zero),
+        jnp.where(~has_x & has_y, ny, zero),
+        jnp.where(~has_x & ~has_y, jnp.where(has_z, nz, one), zero),
+    )
+    return n
+
+
+def _box_dpdu(n: Vec3) -> Vec3:
+    """Tangent via axis cross (ref: cube.glsl:41-48)."""
+    x_axis = Vec3(jnp.ones_like(n.x), jnp.zeros_like(n.x), jnp.zeros_like(n.x))
+    y_axis = Vec3(jnp.zeros_like(n.x), jnp.ones_like(n.x), jnp.zeros_like(n.x))
+    use_x = jnp.abs(n.x) < 0.5
+    return vm.where(use_x, n.cross(x_axis), n.cross(y_axis))
+
+
+def cube_intersect(ro: Vec3, rd: Vec3, cb: BoxP, detail: bool = True) -> Hit:
+    shape = ro.shape
+    tnear, tfar = _slab(ro, rd, cb.bmin, cb.bmax)
+    hit_outside = (tnear > C.EPSILON) & (tnear < tfar)
+    t = jnp.where(hit_outside, tnear, tfar)
+    valid = (tnear < tfar) & (t > C.EPSILON)
+    if not detail:
+        return _finish(valid, t, _zeros_vec(shape), _zeros_vec(shape),
+                       _zeros_vec(shape), 0.0 * t, 0.0 * t, shape)
+
+    p = ro + rd * t
+    n = _box_face_normal(p, cb.bmin, cb.bmax)
+    dpdu = _box_dpdu(n)
+    # Face-local uv from the two tangential extents.
+    ext = cb.bmax - cb.bmin
+    rel = Vec3(_safe_div(p.x - cb.bmin.x, ext.x),
+               _safe_div(p.y - cb.bmin.y, ext.y),
+               _safe_div(p.z - cb.bmin.z, ext.z))
+    on_x = jnp.abs(n.x) > 0.5
+    on_y = jnp.abs(n.y) > 0.5
+    u = jnp.where(on_x, rel.y, rel.x)
+    v = jnp.where(on_x, rel.z, jnp.where(on_y, rel.z, rel.y))
+    return _finish(valid, t, p, n, dpdu, u, v, shape)
+
+
+# --------------------------------------------------------------------------
+# Rectangle (ref: src/shader/shape/rectangle.glsl)
+# --------------------------------------------------------------------------
+
+def rectangle_frame(r: BoxP):
+    """Rectangle spanning edges x=(dx,0,0), y=(0,dy,dz) from min
+    (ref: rectangle.glsl:24-30)."""
+    ext = r.bmax - r.bmin
+    zero = jnp.zeros_like(ext.x)
+    ex = Vec3(ext.x, zero, zero)
+    ey = Vec3(zero, ext.y, ext.z)
+    n = ex.cross(ey).normalize()
+    return ex, ey, n
+
+
+def rectangle_intersect(ro: Vec3, rd: Vec3, r: BoxP, detail: bool = True) -> Hit:
+    shape = ro.shape
+    ex, ey, n = rectangle_frame(r)
+    len_x = ex.length()
+    len_y = ey.length()
+    ss = ex * (1.0 / jnp.maximum(len_x, 1e-20))
+    ts = n.cross(ss)
+
+    d_l = vm.world_to_local(rd, n, ss, ts)
+    o_l = vm.world_to_local(ro - r.bmin, n, ss, ts)
+    t = -_safe_div(o_l.z, d_l.z)
+    h = o_l + d_l * t
+    valid = (jnp.abs(d_l.z) > 1e-12) & (t >= C.EPSILON) & \
+            (h.x <= len_x) & (h.y <= len_y) & \
+            (h.x >= -C.EPSILON) & (h.y >= -C.EPSILON) & (t < C.MAX_DISTANCE)
+    if not detail:
+        return _finish(valid, t, _zeros_vec(shape), _zeros_vec(shape),
+                       _zeros_vec(shape), 0.0 * t, 0.0 * t, shape)
+
+    u = h.x / jnp.maximum(len_x, 1e-20)
+    v = h.y / jnp.maximum(len_y, 1e-20)
+    p = vm.local_to_world(h, n, ss, ts) + r.bmin
+    ng = n.broadcast_to(shape)
+    return _finish(valid, t, p, ng, ex.broadcast_to(shape), u, v, shape)
+
+
+# --------------------------------------------------------------------------
+# Cone / Cylinder (ref: src/shader/shape/{cone,cylinder}.glsl)
+# --------------------------------------------------------------------------
+
+def _clipped_quadratic(o: Vec3, d: Vec3, a, b, c2, zlo, zhi):
+    """Solve quadratic, picking nearest root whose hit lies in z∈[zlo,zhi];
+    fall back to the far root (shared by cone/cylinder/quadrics)."""
+    ok, t1, t2 = vm.quadratic(a, b, c2)
+    ok = ok & (t2 >= -C.EPSILON)
+    t1c = jnp.where(t1 < C.EPSILON, t2, t1)
+    z1 = o.z + d.z * t1c
+    in1 = (z1 >= zlo) & (z1 <= zhi)
+    # If near fails the clip, try far (only if near wasn't already far).
+    z2 = o.z + d.z * t2
+    in2 = (z2 >= zlo) & (z2 <= zhi) & (t1c != t2)
+    t = jnp.where(in1, t1c, t2)
+    valid = ok & (in1 | in2) & (t < C.MAX_DISTANCE) & (t >= C.EPSILON)
+    return valid, t
+
+
+def cone_intersect(ro: Vec3, rd: Vec3, cn: FrustumP, detail: bool = True) -> Hit:
+    shape = ro.shape
+    o = to_object(ro - cn.p)
+    d = to_object(rd)
+    k = (cn.r / cn.h) ** 2
+    a = d.x * d.x + d.y * d.y - k * d.z * d.z
+    b = 2.0 * (d.x * o.x + d.y * o.y - k * d.z * (o.z - cn.h))
+    c2 = o.x * o.x + o.y * o.y - k * (o.z - cn.h) * (o.z - cn.h)
+    valid, t = _clipped_quadratic(o, d, a, b, c2, -C.EPSILON, cn.h)
+    if not detail:
+        return _finish(valid, t, _zeros_vec(shape), _zeros_vec(shape),
+                       _zeros_vec(shape), 0.0 * t, 0.0 * t, shape)
+
+    h = o + d * t
+    phi = _phi_of(h.x, h.y)
+    u = phi / TWO_PI
+    v = h.z / cn.h
+    zero = jnp.zeros(shape, jnp.float32)
+    dpdu = Vec3(-TWO_PI * h.y, TWO_PI * h.x, zero)
+    inv1mv = _safe_div(1.0, 1.0 - v)
+    dpdv = Vec3(-h.x * inv1mv, -h.y * inv1mv, jnp.broadcast_to(cn.h, shape).astype(jnp.float32))
+    ng = dpdu.cross(dpdv).normalize()
+    p = from_object(h) + cn.p
+    return _finish(valid, t, p, from_object(ng), from_object(dpdu), u, v, shape)
+
+
+def cylinder_intersect(ro: Vec3, rd: Vec3, cy: FrustumP, detail: bool = True) -> Hit:
+    shape = ro.shape
+    o = to_object(ro - cy.p)
+    d = to_object(rd)
+    a = d.x * d.x + d.y * d.y
+    b = 2.0 * (d.x * o.x + d.y * o.y)
+    c2 = o.x * o.x + o.y * o.y - cy.r * cy.r
+    valid, t = _clipped_quadratic(o, d, a, b, c2, -C.EPSILON, cy.h)
+    if not detail:
+        return _finish(valid, t, _zeros_vec(shape), _zeros_vec(shape),
+                       _zeros_vec(shape), 0.0 * t, 0.0 * t, shape)
+
+    h = o + d * t
+    phi = _phi_of(h.x, h.y)
+    u = phi / TWO_PI
+    v = h.z / cy.h
+    zero = jnp.zeros(shape, jnp.float32)
+    dpdu = Vec3(-TWO_PI * h.y, TWO_PI * h.x, zero)
+    dpdv = Vec3(zero, zero, jnp.broadcast_to(cy.h, shape).astype(jnp.float32))
+    ng = dpdu.cross(dpdv).normalize()
+    p = from_object(h) + cy.p
+    return _finish(valid, t, p, from_object(ng), from_object(dpdu), u, v, shape)
+
+
+# --------------------------------------------------------------------------
+# Disk (ref: src/shader/shape/disk.glsl)
+# --------------------------------------------------------------------------
+
+def disk_intersect(ro: Vec3, rd: Vec3, dk: DiskP, detail: bool = True) -> Hit:
+    shape = ro.shape
+    o = to_object(ro - dk.p)
+    d = to_object(rd)
+    t = -_safe_div(o.z, d.z)
+    h = o + d * t
+    dist2 = h.x * h.x + h.y * h.y
+    valid = (jnp.abs(d.z) > 1e-12) & (t > 0.0) & (t < C.MAX_DISTANCE) & \
+            (dist2 <= dk.r * dk.r) & (dist2 >= dk.inner_r * dk.inner_r)
+    if not detail:
+        return _finish(valid, t, _zeros_vec(shape), _zeros_vec(shape),
+                       _zeros_vec(shape), 0.0 * t, 0.0 * t, shape)
+
+    phi = _phi_of(h.x, h.y)
+    u = phi / TWO_PI
+    r_hit = jnp.sqrt(dist2)
+    v = 1.0 - _safe_div(r_hit - dk.inner_r, dk.r - dk.inner_r)
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+    dpdu = Vec3(-TWO_PI * h.y, TWO_PI * h.x, zero)
+    ng = Vec3(zero, zero, one)  # local +z == world +y (ref: disk.glsl:33)
+    p = from_object(h) + dk.p
+    return _finish(valid, t, p, from_object(ng), from_object(dpdu), u, v, shape)
+
+
+# --------------------------------------------------------------------------
+# Hyperboloid / Paraboloid (ref: src/shader/shape/{hyperboloid,paraboloid}.glsl)
+# --------------------------------------------------------------------------
+
+def hyperboloid_intersect(ro: Vec3, rd: Vec3, hy: HyperboloidP, detail: bool = True) -> Hit:
+    shape = ro.shape
+    o = to_object(ro - hy.p)
+    d = to_object(rd)
+    a = hy.ah * (d.x * d.x + d.y * d.y) - hy.ch * d.z * d.z
+    b = 2.0 * (hy.ah * (d.x * o.x + d.y * o.y) - hy.ch * d.z * o.z)
+    c2 = hy.ah * (o.x * o.x + o.y * o.y) - hy.ch * o.z * o.z - 1.0
+    zmin = jnp.minimum(hy.p1.z, hy.p2.z)
+    zmax = jnp.maximum(hy.p1.z, hy.p2.z)
+    valid, t = _clipped_quadratic(o, d, a, b, c2, zmin, zmax)
+    if not detail:
+        return _finish(valid, t, _zeros_vec(shape), _zeros_vec(shape),
+                       _zeros_vec(shape), 0.0 * t, 0.0 * t, shape)
+
+    h = o + d * t
+    v = _safe_div(h.z - hy.p1.z, hy.p2.z - hy.p1.z)
+    pr = vm.lerp(hy.p1.broadcast_to(shape), hy.p2.broadcast_to(shape), v)
+    phi = _phi_of(pr.x * h.x + pr.y * h.y, pr.x * h.y - h.x * pr.y)
+    u = phi / TWO_PI
+    sin_p = jnp.sin(phi)
+    cos_p = jnp.cos(phi)
+    zero = jnp.zeros(shape, jnp.float32)
+    dpdu = Vec3(-TWO_PI * h.y, TWO_PI * h.x, zero)
+    dx = hy.p2.x - hy.p1.x
+    dy = hy.p2.y - hy.p1.y
+    dz = hy.p2.z - hy.p1.z
+    dpdv = Vec3(dx * cos_p - dy * sin_p, dx * sin_p + dy * cos_p,
+                jnp.broadcast_to(dz, shape).astype(jnp.float32))
+    ng = dpdu.cross(dpdv).normalize()
+    p = from_object(h) + hy.p
+    return _finish(valid, t, p, from_object(ng), from_object(dpdu), u, v, shape)
+
+
+def paraboloid_intersect(ro: Vec3, rd: Vec3, pb: ParaboloidP, detail: bool = True) -> Hit:
+    shape = ro.shape
+    o = to_object(ro - pb.p)
+    d = to_object(rd)
+    zmin = jnp.minimum(pb.z0, pb.z1)
+    zmax = jnp.maximum(pb.z0, pb.z1)
+    k = _safe_div(zmax, pb.r * pb.r)
+    a = k * (d.x * d.x + d.y * d.y)
+    b = 2.0 * k * (d.x * o.x + d.y * o.y) - d.z
+    c2 = k * (o.x * o.x + o.y * o.y) - o.z
+    valid, t = _clipped_quadratic(o, d, a, b, c2, zmin, zmax)
+    if not detail:
+        return _finish(valid, t, _zeros_vec(shape), _zeros_vec(shape),
+                       _zeros_vec(shape), 0.0 * t, 0.0 * t, shape)
+
+    h = o + d * t
+    phi = _phi_of(h.x, h.y)
+    u = phi / TWO_PI
+    v = _safe_div(h.z - zmin, zmax - zmin)
+    zero = jnp.zeros(shape, jnp.float32)
+    dpdu = Vec3(-TWO_PI * h.y, TWO_PI * h.x, zero)
+    hz = jnp.where(jnp.abs(h.z) < 1e-8, 1e-8, h.z)
+    dpdv = Vec3((zmax - zmin) * h.x / (2.0 * hz), (zmax - zmin) * h.y / (2.0 * hz),
+                jnp.broadcast_to(zmax - zmin, shape).astype(jnp.float32))
+    ng = dpdu.cross(dpdv).normalize()
+    p = from_object(h) + pb.p
+    return _finish(valid, t, p, from_object(ng), from_object(dpdu), u, v, shape)
+
+
+# --------------------------------------------------------------------------
+# Cornell box (ref: src/shader/shape/cornellbox.glsl)
+# --------------------------------------------------------------------------
+
+def cornellbox_intersect(ro: Vec3, rd: Vec3, cb: BoxP, detail: bool = True) -> Hit:
+    shape = ro.shape
+    tnear, tfar = _slab(ro, rd, cb.bmin, cb.bmax)
+    t = tfar  # always the far wall: the box is viewed from inside
+    valid = (tnear < tfar) & (t > C.EPSILON)
+    if not detail:
+        return _finish(valid, t, _zeros_vec(shape), _zeros_vec(shape),
+                       _zeros_vec(shape), 0.0 * t, 0.0 * t, shape)
+
+    p = ro + rd * t
+    n = -_box_face_normal(p, cb.bmin, cb.bmax)
+    dpdu = _box_dpdu(n)
+    # Baked wall colors: left GREEN, right BLUE, floor/ceiling/front WHITE,
+    # back BLACK (ref: cornellbox.glsl:21-37).
+    eps = 1e-4
+    green = vm.splat(C.GREEN).broadcast_to(shape)
+    blue = vm.splat(C.BLUE).broadcast_to(shape)
+    white = vm.splat(C.WHITE).broadcast_to(shape)
+    black = vm.splat(C.BLACK).broadcast_to(shape)
+    sc = vm.where(p.x < cb.bmin.x + eps, green,
+         vm.where(p.x > cb.bmax.x - eps, blue,
+         vm.where((p.y < cb.bmin.y + eps) | (p.y > cb.bmax.y - eps) |
+                  (p.z > cb.bmin.z + eps), white, black)))
+    ext = cb.bmax - cb.bmin
+    rel = Vec3(_safe_div(p.x - cb.bmin.x, ext.x),
+               _safe_div(p.y - cb.bmin.y, ext.y),
+               _safe_div(p.z - cb.bmin.z, ext.z))
+    on_x = jnp.abs(n.x) > 0.5
+    on_y = jnp.abs(n.y) > 0.5
+    u = jnp.where(on_x, rel.y, rel.x)
+    v = jnp.where(on_x, rel.z, jnp.where(on_y, rel.z, rel.y))
+    return _finish(valid, t, p, n, dpdu, u, v, shape, sc, jnp.ones(shape, bool))
+
+
+# --------------------------------------------------------------------------
+# Scene dispatcher
+# --------------------------------------------------------------------------
+
+SHAPE_FNS = {
+    C.SPHERE: sphere_intersect,
+    C.CUBE: cube_intersect,
+    C.RECTANGLE: rectangle_intersect,
+    C.CONE: cone_intersect,
+    C.CYLINDER: cylinder_intersect,
+    C.DISK: disk_intersect,
+    C.HYPERBOLOID: hyperboloid_intersect,
+    C.PARABOLOID: paraboloid_intersect,
+    C.CORNELLBOX: cornellbox_intersect,
+}
+
+
+class SceneHit(NamedTuple):
+    """Nearest hit over all objects, with per-ray scene bookkeeping."""
+    t: jax.Array
+    p: Vec3
+    n: Vec3           # shading normal, flipped to face the ray
+    ng: Vec3          # geometric normal, unflipped
+    dpdu: Vec3
+    u: jax.Array
+    v: jax.Array
+    into: jax.Array   # entered the surface from outside (for dielectrics)
+    emission: Vec3    # zeroed on back faces (w.r.t. reverse-adjusted normal)
+    mat_row: jax.Array   # i32 material row per ray
+    tex_row: jax.Array   # i32 texture row per ray
+    obj_id: jax.Array    # i32 object index per ray
+    emissive: jax.Array  # bool: hit object is an emitter
+    sc_override: Vec3
+    use_override: jax.Array
+    valid: jax.Array  # bool: t < MAX_DISTANCE
+
+
+def _select_hit(closer, a: Hit, b: Hit) -> Hit:
+    return jax.tree.map(lambda x, y: jnp.where(closer, x, y), a, b)
+
+
+def intersect_scene(objects: tuple, static, ro: Vec3, rd: Vec3) -> SceneHit:
+    """Nearest-hit fold over the scene's (static) object list
+    (ref: shape/shader.shape.js:28-42 intersect dispatcher)."""
+    shape = jnp.broadcast_shapes(ro.shape, rd.shape)
+    ro = ro.broadcast_to(shape)
+    rd = rd.broadcast_to(shape)
+
+    best = miss(shape)
+    best_aux = {
+        "emission": _zeros_vec(shape),
+        "mat_row": jnp.zeros(shape, jnp.int32),
+        "tex_row": jnp.zeros(shape, jnp.int32),
+        "obj_id": jnp.full(shape, -1, jnp.int32),
+        "emissive": jnp.zeros(shape, bool),
+    }
+
+    for i, (cat, params) in enumerate(zip(static.object_categories, objects)):
+        h = SHAPE_FNS[cat](ro, rd, params)
+        # Emission is visible only from the front of the reverse-adjusted
+        # normal (ref: shape/shader.shape.js:47-50).
+        face = (h.ng * params.reverse).dot(rd) < -C.EPSILON
+        valid_hit = h.t < C.MAX_DISTANCE
+        emission = vm.where(face, params.emission.broadcast_to(shape), _zeros_vec(shape))
+        closer = h.t < best.t
+        best = _select_hit(closer, h, best)
+        aux = {
+            "emission": emission,
+            "mat_row": jnp.full(shape, static.object_mat_rows[i], jnp.int32),
+            "tex_row": jnp.full(shape, static.object_tex_rows[i], jnp.int32),
+            "obj_id": jnp.full(shape, i, jnp.int32),
+            "emissive": jnp.full(shape, bool(static.object_emissive[i]), bool),
+        }
+        best_aux = jax.tree.map(lambda x, y: jnp.where(closer, x, y), aux, best_aux)
+
+    into = best.ng.dot(rd) < -C.EPSILON
+    n = vm.where(into, best.ng, -best.ng)
+    return SceneHit(
+        t=best.t, p=best.p, n=n, ng=best.ng, dpdu=best.dpdu, u=best.u, v=best.v,
+        into=into, emission=best_aux["emission"], mat_row=best_aux["mat_row"],
+        tex_row=best_aux["tex_row"], obj_id=best_aux["obj_id"],
+        emissive=best_aux["emissive"], sc_override=best.sc_override,
+        use_override=best.use_override, valid=best.t < C.MAX_DISTANCE,
+    )
+
+
+def occluded(objects: tuple, static, ro: Vec3, rd: Vec3, max_t) -> jax.Array:
+    """Any-hit shadow query along normalized `rd`, accepting occluders with
+    t ∈ (EPSILON, max_t) (ref: light/shader.light.js:21-28 testShadow,
+    parameterized there on the unnormalized segment instead)."""
+    shape = jnp.broadcast_shapes(ro.shape, rd.shape)
+    ro = ro.broadcast_to(shape)
+    rd = rd.broadcast_to(shape)
+    occ = jnp.zeros(shape, bool)
+    for cat, params in zip(static.object_categories, objects):
+        h = SHAPE_FNS[cat](ro, rd, params, detail=False)
+        occ = occ | ((h.t > C.EPSILON) & (h.t < max_t))
+    return occ

@@ -1,0 +1,137 @@
+"""Next-event-estimation light sampling.
+
+TPU-native counterpart of the reference's generated `light_sample` dispatcher
+(ref: src/shader/light/shader.light.js:12-28 and light/{area,point,spot}.glsl).
+One light is picked uniformly per ray; every light's candidate sample point is
+computed (static unrolled loop over the scene's lights) and masked-selected,
+so only ONE shadow ray is traced per ray per bounce.
+
+Estimator corrections vs the reference (see scene/light.py docstring):
+inverse-square falloff for area/point lights, ×n_lights for the uniform pick,
+and correct area pdfs (uniform sphere = 1/(4πr²); area.glsl uses INVPI/r²).
+
+Returned value is the incident direct radiance ESTIMATE divided by the
+light-pick pdf, times the surface cosine — everything except the BSDF value,
+which the integrator multiplies in (evaluated at the true light direction,
+not at the BSDF-sampled direction like trace/path.glsl:10 does).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..core import samplers
+from ..core import vecmath as vm
+from ..core.vecmath import Vec3
+from . import intersect as isect
+
+
+class LightSample(NamedTuple):
+    radiance: Vec3   # E · G · n_lights / pdf — pending visibility and BSDF
+    point: Vec3      # sampled point on the light
+    wi: Vec3         # normalized direction surface→light
+    dist: jax.Array
+
+
+def _sample_geometry(cat: int, params, u1, u2, shape):
+    """Sample a point+normal+area-pdf on an emissive geometry
+    (ref: shape/shader.shape.js:53-67 sampleGeometry dispatch)."""
+    if cat == C.SPHERE:
+        d = samplers.uniform_sphere(u1, u2)
+        p = isect.from_object(d * params.radius) + params.center
+        n = isect.from_object(d) * params.reverse
+        pdf = jnp.broadcast_to(1.0 / (4.0 * C.PI * params.radius ** 2), shape)
+        return p, n, pdf
+    if cat == C.RECTANGLE:
+        ex, ey, n = isect.rectangle_frame(params)
+        p = params.bmin + ex * u1 + ey * u2
+        area = ex.length() * ey.length()
+        pdf = jnp.broadcast_to(1.0 / jnp.maximum(area, 1e-12), shape)
+        return p.broadcast_to(shape) if p.shape != shape else p, \
+            (n * params.reverse).broadcast_to(shape), pdf
+    if cat == C.DISK:
+        dx, dy = samplers.concentric_disk(u1, u2)
+        # Disk lies in the world xz-plane, normal +y (ref: disk.glsl:76-82).
+        p = Vec3(params.p.x + dx * params.r, jnp.broadcast_to(params.p.y, shape),
+                 params.p.z + dy * params.r)
+        area = C.PI * (params.r ** 2 - params.inner_r ** 2)
+        n = Vec3(jnp.zeros(shape, jnp.float32),
+                 jnp.broadcast_to(params.reverse, shape).astype(jnp.float32),
+                 jnp.zeros(shape, jnp.float32))
+        pdf = jnp.broadcast_to(1.0 / jnp.maximum(area, 1e-12), shape)
+        return p, n, pdf
+    raise NotImplementedError(
+        f"area-light sampling for shape category {cat} is not supported "
+        "(the reference stubs these too: shape/{cube,cone,...}.glsl sample*)")
+
+
+def sample_direct(objects: tuple, lights: tuple, static, hit_p: Vec3, hit_n: Vec3,
+                  u1, u2, light_idx) -> tuple[Vec3, Vec3]:
+    """Direct-lighting estimate at hit points.
+
+    Returns (radiance, wi_world): incident radiance already weighted by the
+    surface cosine, geometric terms, visibility, and the light-pick pdf; and
+    the light direction for BSDF evaluation.  Zero where no lights.
+    """
+    shape = hit_p.shape
+    n_lights = len(lights)
+    black = Vec3(*(jnp.zeros(shape, jnp.float32),) * 3)
+    if n_lights == 0:
+        return black, black
+
+    # Per-light candidate sample points / pre-visibility radiance.
+    cand_p = black
+    cand_r = black
+    for li, (cat, lp) in enumerate(zip(static.light_categories, lights)):
+        mask = light_idx == li
+        if cat == C.AREA:
+            obj_idx = static.area_light_objects[li]
+            gcat = static.object_categories[obj_idx]
+            gparams = objects[obj_idx]
+            p_l, n_l, pdf_a = _sample_geometry(gcat, gparams, u1, u2, shape)
+            to_l = p_l - hit_p
+            d2 = jnp.maximum(to_l.length_sq(), 1e-12)
+            wi = to_l * jax.lax.rsqrt(d2)
+            cos_l = jnp.maximum(0.0, n_l.dot(-wi))
+            cos_s = jnp.maximum(0.0, wi.dot(hit_n))
+            rad = lp.emission.broadcast_to(shape) * (cos_l * cos_s /
+                                                     (d2 * pdf_a) * n_lights)
+        elif cat == C.POINT:
+            jitter = samplers.uniform_sphere(u1, u2) * lp.radius
+            p_l = lp.origin.broadcast_to(shape) + jitter
+            to_l = p_l - hit_p
+            d2 = jnp.maximum(to_l.length_sq(), 1e-12)
+            wi = to_l * jax.lax.rsqrt(d2)
+            cos_s = jnp.maximum(0.0, wi.dot(hit_n))
+            rad = lp.emission.broadcast_to(shape) * (cos_s / d2 * n_lights)
+        elif cat == C.SPOT:
+            p_l = lp.origin.broadcast_to(shape)
+            to_l = p_l - hit_p
+            d2 = jnp.maximum(to_l.length_sq(), 1e-12)
+            wi = to_l * jax.lax.rsqrt(d2)
+            # Falloff about the spot's -y axis (ref: spot.glsl:19-27: the
+            # cone looks down world -y; cosTheta = -w.y with w = -wi).
+            cos_t = wi.y
+            delta = (cos_t - lp.cos_total_width) / jnp.maximum(
+                lp.cos_falloff_start - lp.cos_total_width, 1e-7)
+            fall = jnp.where(cos_t < lp.cos_total_width, 0.0,
+                             jnp.where(cos_t >= lp.cos_falloff_start, 1.0,
+                                       (delta * delta) * (delta * delta)))
+            cos_s = jnp.maximum(0.0, wi.dot(hit_n))
+            rad = lp.emission.broadcast_to(shape) * (fall * cos_s / d2 * n_lights)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown light category {cat}")
+        cand_p = vm.where(mask, p_l, cand_p)
+        cand_r = vm.where(mask, rad, cand_r)
+
+    # One shadow ray per surface point toward the selected light sample.
+    to_l = cand_p - hit_p
+    dist = to_l.length()
+    wi = to_l * (1.0 / jnp.maximum(dist, 1e-12))
+    origin = hit_p + hit_n * 1e-4
+    occ = isect.occluded(objects, static, origin, wi, dist * (1.0 - 1e-3))
+    vis = jnp.where(occ, 0.0, 1.0)
+    return cand_r * vis, wi

@@ -1,0 +1,172 @@
+"""Wavefront path-tracing integrator.
+
+TPU-native replacement for the reference's megakernel bounce loop
+(ref: src/shader/trace/path.glsl:16-37 `trace`, :1-14 `shade`, and the
+per-pixel entry main/fstrace.glsl).  All rays advance one bounce per step in
+lock-step SIMD over flat lane-aligned arrays; dead rays are masked, not
+branched.  The bounce loop is a statically unrolled Python loop (MAX_BOUNCES
+is small and static), letting XLA fuse intersect→shade→NEE per bounce into a
+handful of VPU kernels.
+
+Estimator notes:
+- NEE runs for matte, non-emissive hits only (like the reference); unlike the
+  reference, emission picked up by the NEXT bounce's BSDF ray is skipped when
+  the previous bounce already did NEE — removing the reference's
+  double-counting of direct light on matte surfaces.
+- Radiance is differentiable w.r.t. every scene float parameter; sampling
+  decisions are detached (pdf-cancelled detached-sampling estimator).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..core import rng
+from ..core import vecmath as vm
+from ..core.camera import generate_rays
+from ..core.vecmath import Vec3
+from ..ops import intersect as isect
+from ..ops import lights as lights_ops
+from ..ops import materials as mat_ops
+from ..ops import textures as tex_ops
+
+
+class TraceResult(NamedTuple):
+    color: Vec3     # radiance estimate per ray
+    normal: Vec3    # first-hit shading normal (G-buffer)
+    position: Vec3  # first-hit position (G-buffer)
+
+
+def trace_rays(scene, static, ro: Vec3, rd: Vec3, key,
+               max_bounces: int = C.MAX_BOUNCES,
+               clamp_weight: bool = True,
+               rand_override=None) -> TraceResult:
+    """Trace a batch of rays through the packed scene.
+
+    `scene` is a PackedScene pytree; `static` a SceneStatic; `ro`/`rd` Vec3s
+    of identically-shaped arrays; `key` a PRNG key unique to this sample.
+
+    `rand_override`: optional list (length max_bounces) of dicts with keys
+    u1,u2,u_lobe,lu1,lu2,lidx — per-bounce uniform fields replacing the
+    internal RNG, for deterministic parity against the CPU oracle.
+    """
+    shape = jnp.broadcast_shapes(ro.shape, rd.shape)
+    ro = ro.broadcast_to(shape)
+    rd = rd.broadcast_to(shape)
+
+    zero = jnp.zeros(shape, jnp.float32)
+    black = Vec3(zero, zero, zero)
+    e = black
+    throughput = Vec3(jnp.ones(shape, jnp.float32), jnp.ones(shape, jnp.float32),
+                      jnp.ones(shape, jnp.float32))
+    alive = jnp.ones(shape, bool)
+    skip_emission = jnp.zeros(shape, bool)
+    g_normal = black
+    g_position = black
+
+    n_lights = len(scene.lights)
+
+    for bounce in range(max_bounces):
+        kb = rng.bounce_key(key, bounce)
+        hit = isect.intersect_scene(scene.objects, static, ro, rd)
+        alive = alive & hit.valid
+
+        if bounce == 0:
+            g_normal = hit.n
+            g_position = hit.p
+
+        # Shading frame: ss from dpdu (fallback to any tangent when dpdu is
+        # degenerate, e.g. sphere poles), ts completes the basis
+        # (ref: trace/path.glsl:3).
+        dpdu_ok = hit.dpdu.length_sq() > 1e-16
+        ss = vm.where(dpdu_ok, hit.dpdu, vm.ortho(hit.n)).normalize()
+        # Orthogonalize against n (dpdu need not be perpendicular to n).
+        ss = (ss - hit.n * ss.dot(hit.n)).normalize()
+        ts = hit.n.cross(ss)
+        wo = vm.world_to_local(-rd, hit.n, ss, ts)
+
+        sc = tex_ops.surface_color(scene.textures, static, hit.tex_row, hit.p,
+                                   hit.u, hit.v, hit.sc_override, hit.use_override)
+
+        if rand_override is not None:
+            rb = rand_override[bounce]
+            u1, u2, u_lobe = rb["u1"], rb["u2"], rb["u_lobe"]
+        else:
+            u1, u2 = rng.uniform2(kb, shape, rng.TAG_BSDF)
+            u_lobe = rng.uniform(kb, shape, rng.TAG_LOBE)
+        ms = mat_ops.sample_material(scene.materials, static, hit.mat_row, sc,
+                                     u1, u2, u_lobe, wo, hit.into)
+
+        weight = ms.weight.clip(0.0, 1.0) if clamp_weight else ms.weight
+
+        # Emission pickup; skipped if the previous bounce's NEE already
+        # accounted for direct light onto this path vertex.
+        emit = vm.where(skip_emission & hit.emissive, black, hit.emission)
+        contrib = emit
+
+        did_nee = jnp.zeros(shape, bool)
+        if n_lights > 0:
+            if rand_override is not None:
+                rb = rand_override[bounce]
+                lu1, lu2, lidx = rb["lu1"], rb["lu2"], rb["lidx"]
+            else:
+                lu1, lu2 = rng.uniform2(kb, shape, rng.TAG_LIGHT_U)
+                lidx = rng.randint(kb, shape, rng.TAG_LIGHT_PICK, 0, n_lights)
+            nee_mask = ms.is_matte & (~hit.emissive) & alive
+            direct, wi_light = lights_ops.sample_direct(
+                scene.objects, scene.lights, static, hit.p, hit.n, lu1, lu2, lidx)
+            wi_light_local = vm.world_to_local(wi_light, hit.n, ss, ts)
+            f_light = mat_ops.eval_matte_f(scene.materials, static, hit.mat_row,
+                                           sc, wo, wi_light_local)
+            direct = direct * f_light
+            contrib = contrib + vm.where(nee_mask, direct, black)
+            did_nee = nee_mask
+
+        e = e + throughput * vm.where(alive, contrib, black)
+        throughput = throughput * weight
+        skip_emission = did_nee
+
+        # Continue the path: offset origin along ±normal (path.glsl:32-34).
+        wi_world = vm.local_to_world(ms.wi, hit.n, ss, ts)
+        outdot = hit.n.dot(wi_world)
+        ro = hit.p + hit.n * jnp.where(outdot > C.EPSILON, 1e-4, -1e-4)
+        rd = wi_world
+        alive = alive & (throughput.max_component() > 0.0)
+
+    return TraceResult(e, g_normal, g_position)
+
+
+def render_sample(scene, static, height: int, width: int, key,
+                  max_bounces: int = C.MAX_BOUNCES,
+                  jitter: bool = True) -> TraceResult:
+    """One 1-spp progressive pass over the full image
+    (ref: main/fstrace.glsl + sub-pixel jitter src/core/tracer.js:94-96)."""
+    shape = (height, width)
+    if jitter:
+        jx = rng.uniform(key, shape, rng.TAG_PIXEL_JITTER)
+        jy = rng.uniform(jax.random.fold_in(key, 7), shape, rng.TAG_PIXEL_JITTER)
+    else:
+        jx = jy = None
+    ro, rd = generate_rays(scene.camera, height, width, jx, jy)
+    return trace_rays(scene, static, ro, rd, key, max_bounces)
+
+
+def render_image(scene, static, height: int, width: int, spp: int, seed=0,
+                 max_bounces: int = C.MAX_BOUNCES):
+    """Average `spp` progressive passes — the batch analog of the reference's
+    frame accumulation (src/core/tracer.js:97 textureWeight blend), kept
+    entirely on-device in HBM."""
+    base = rng.trace_key(seed, 0)
+
+    def body(i, acc):
+        res = render_sample(scene, static, height, width,
+                            jax.random.fold_in(base, i), max_bounces)
+        return jax.tree.map(lambda a, b: a + b, acc, res.color)
+
+    zero = jnp.zeros((height, width), jnp.float32)
+    acc = Vec3(zero, zero, zero)
+    acc = jax.lax.fori_loop(0, spp, body, acc)
+    return acc * (1.0 / spp)

@@ -1,0 +1,173 @@
+"""Scene container and SoA packing.
+
+`Scene` mirrors the reference's container API (ref: src/scene/scene.js):
+`add()` dispatches Camera / geometry / lights, area lights inject their
+geometry into the object list (scene.js:57-61), and `filter=` / `trace=`
+select the reconstruction filter / integrator.
+
+`Scene.pack()` replaces the reference's serialization into three R32F data
+textures (ref: src/core/tracer.js:42-90) with a typed, differentiable pytree
+(`PackedScene`) plus hashable static structure (`SceneStatic`).  JAX tracing
+specializes the compiled program on SceneStatic — only the shape/material/
+texture/light code the scene actually uses is compiled, the same
+specialization the reference gets from string-stitching GLSL plugins
+(src/scene/scene.js:70-112 → src/shader/generator.js:107-123).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+from ..core.camera import CameraParams, make_camera
+from .geometry import Object3D
+from .light import AreaLight, Light
+
+VALID_FILTERS = ("color", "gamma", "tonemapping", "normal", "position",
+                 "box", "triangle", "gaussian", "mitchell", "sinc", "wavelet")
+VALID_TRACERS = ("path",)
+
+
+class PackedScene(NamedTuple):
+    """Differentiable scene parameters — a pytree of float32 leaves."""
+    objects: tuple      # per-object shape param NamedTuples
+    materials: tuple    # material param rows (deduped)
+    textures: tuple     # texture param rows (deduped)
+    lights: tuple       # per-light param NamedTuples
+    camera: CameraParams
+
+
+class SceneStatic(NamedTuple):
+    """Hashable scene structure; a static argument to jit."""
+    object_categories: tuple        # shape category per object
+    object_mat_rows: tuple          # material row index per object
+    object_tex_rows: tuple          # texture row index per object
+    object_emissive: tuple          # bool per object
+    material_categories: tuple      # category per material row
+    texture_categories: tuple       # category per texture row
+    light_categories: tuple         # category per light
+    area_light_objects: tuple       # object index per light (-1 if not area)
+
+
+class Camera:
+    """Host camera (ref: src/scene/camera.js). fovy=55°, aspect=1 default."""
+
+    def __init__(self, eye, center, up=(0.0, 1.0, 0.0), fovy: float = 55.0,
+                 aspect: float = 1.0):
+        self.eye = tuple(float(v) for v in eye)
+        self.center = tuple(float(v) for v in center)
+        self.up = tuple(float(v) for v in up)
+        self.fovy = float(fovy)
+        self.aspect = float(aspect)
+
+    def update(self):
+        """No-op: packing always reads current eye/center/up."""
+
+    def pack(self) -> CameraParams:
+        return make_camera(self.eye, self.center, self.up, self.fovy, self.aspect)
+
+
+class Scene:
+    def __init__(self):
+        self.camera: Optional[Camera] = None
+        self.objects: list[Object3D] = []
+        self.lights: list[Light] = []
+        self.sample_count = 0
+        self._trace = "path"
+        self._filter = "color"
+        self.filter_params: dict = {}
+        self.select = None
+        self.moving = False
+
+    # -- reference-parity properties ---------------------------------------
+    @property
+    def filter(self) -> str:
+        return self._filter
+
+    @filter.setter
+    def filter(self, name):
+        if isinstance(name, tuple):
+            name, params = name
+            self.filter_params = dict(params)
+        if name in VALID_FILTERS:
+            self._filter = name
+
+    @property
+    def trace(self) -> str:
+        return self._trace
+
+    @trace.setter
+    def trace(self, name: str):
+        if name in VALID_TRACERS:
+            self._trace = name
+
+    @property
+    def eye(self):
+        return self.camera.eye
+
+    def add(self, something):
+        if isinstance(something, Camera):
+            self.camera = something
+        elif isinstance(something, Object3D):
+            self.objects.append(something)
+        elif isinstance(something, Light):
+            if isinstance(something, AreaLight):
+                something.index = len(self.objects)
+                self.objects.append(something.geometry)
+            self.lights.append(something)
+        else:
+            raise TypeError(f"cannot add {type(something)!r} to scene")
+
+    def update(self):
+        if self.camera is not None:
+            self.camera.update()
+        self.sample_count = 0
+
+    # -- packing -----------------------------------------------------------
+    def pack(self) -> tuple[PackedScene, SceneStatic]:
+        if self.camera is None:
+            raise ValueError("scene has no camera")
+
+        mat_rows, mat_cats, mat_ids = [], [], {}
+        tex_rows, tex_cats, tex_ids = [], [], {}
+        obj_params, obj_cats, obj_mat, obj_tex, obj_emissive = [], [], [], [], []
+
+        for obj in self.objects:
+            mid = id(obj.material)
+            if mid not in mat_ids:
+                mat_ids[mid] = len(mat_rows)
+                mat_rows.append(obj.material.pack())
+                mat_cats.append(obj.material.category)
+            tid = id(obj.texture)
+            if tid not in tex_ids:
+                tex_ids[tid] = len(tex_rows)
+                tex_rows.append(obj.texture.pack())
+                tex_cats.append(obj.texture.category)
+            obj_params.append(obj.pack())
+            obj_cats.append(obj.category)
+            obj_mat.append(mat_ids[mid])
+            obj_tex.append(tex_ids[tid])
+            obj_emissive.append(obj.light)
+
+        light_params, light_cats, area_objs = [], [], []
+        for light in self.lights:
+            light_params.append(light.pack())
+            light_cats.append(light.category)
+            area_objs.append(light.index if isinstance(light, AreaLight) else -1)
+
+        packed = PackedScene(
+            objects=tuple(obj_params),
+            materials=tuple(mat_rows),
+            textures=tuple(tex_rows),
+            lights=tuple(light_params),
+            camera=self.camera.pack(),
+        )
+        static = SceneStatic(
+            object_categories=tuple(obj_cats),
+            object_mat_rows=tuple(obj_mat),
+            object_tex_rows=tuple(obj_tex),
+            object_emissive=tuple(obj_emissive),
+            material_categories=tuple(mat_cats),
+            texture_categories=tuple(tex_cats),
+            light_categories=tuple(light_cats),
+            area_light_objects=tuple(area_objs),
+        )
+        return packed, static

@@ -1,0 +1,20 @@
+"""Test harness config: force CPU with 8 virtual devices so multi-chip
+sharding is testable without TPUs (SURVEY.md §4).
+
+Note: the axon site hook overrides JAX_PLATFORMS, so the platform must be
+forced via jax.config before first backend use.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: integrator graphs are large; cache across runs.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

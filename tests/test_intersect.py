@@ -1,0 +1,178 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sail_tpu import Cornellbox, Cube, Cylinder, Cone, Disk, Matte, Paraboloid, \
+    Rectangle, Sphere, Hyperboloid
+from sail_tpu import constants as C
+from sail_tpu.core.vecmath import Vec3, vec3
+from sail_tpu.ops import intersect as isect
+
+
+def ray(o, d):
+    o = vec3(*[jnp.full((1,), v, jnp.float32) for v in o])
+    dd = np.asarray(d, float)
+    dd = dd / np.linalg.norm(dd)
+    d = vec3(*[jnp.full((1,), v, jnp.float32) for v in dd])
+    return o, d
+
+
+def t_of(hit):
+    return float(hit.t[0])
+
+
+def n_of(hit):
+    return np.array([float(hit.ng.x[0]), float(hit.ng.y[0]), float(hit.ng.z[0])])
+
+
+def test_sphere_head_on():
+    s = Sphere((0, 0, 0), 1.0).pack()
+    o, d = ray((0, 0, 3), (0, 0, -1))
+    h = isect.sphere_intersect(o, d, s)
+    assert t_of(h) == pytest.approx(2.0, rel=1e-5)
+    np.testing.assert_allclose(n_of(h), [0, 0, 1], atol=1e-5)
+
+
+def test_sphere_miss():
+    s = Sphere((0, 0, 0), 1.0).pack()
+    o, d = ray((0, 3, 3), (0, 0, -1))
+    h = isect.sphere_intersect(o, d, s)
+    assert t_of(h) == C.MAX_DISTANCE
+
+
+def test_sphere_from_inside():
+    s = Sphere((0, 0, 0), 1.0).pack()
+    o, d = ray((0, 0, 0), (0, 0, -1))
+    h = isect.sphere_intersect(o, d, s)
+    assert t_of(h) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_sphere_uv_poles_and_equator():
+    s = Sphere((0, 0, 0), 1.0).pack()
+    # local z is world y: the "north pole" is +y in world
+    o, d = ray((3, 0, 0), (-1, 0, 0))
+    h = isect.sphere_intersect(o, d, s)
+    assert float(h.v[0]) == pytest.approx(0.5, abs=1e-4)  # equator
+
+
+def test_cube_faces():
+    c = Cube((-1, -1, -1), (1, 1, 1)).pack()
+    o, d = ray((0, 0, 5), (0, 0, -1))
+    h = isect.cube_intersect(o, d, c)
+    assert t_of(h) == pytest.approx(4.0, rel=1e-5)
+    np.testing.assert_allclose(n_of(h), [0, 0, 1], atol=1e-5)
+    o, d = ray((5, 0.3, 0.2), (-1, 0, 0))
+    h = isect.cube_intersect(o, d, c)
+    assert t_of(h) == pytest.approx(4.0, rel=1e-5)
+    np.testing.assert_allclose(n_of(h), [1, 0, 0], atol=1e-5)
+
+
+def test_cube_inside_hits_far_face():
+    c = Cube((-1, -1, -1), (1, 1, 1)).pack()
+    o, d = ray((0, 0, 0), (0, 0, -1))
+    h = isect.cube_intersect(o, d, c)
+    assert t_of(h) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_rectangle_hit_and_uv():
+    r = Rectangle((-1, 0.0, -1), (1, 0.0, 1)).pack()  # horizontal, y=0
+    o, d = ray((0.5, 2, 0.5), (0, -1, 0))
+    h = isect.rectangle_intersect(o, d, r)
+    assert t_of(h) == pytest.approx(2.0, rel=1e-5)
+    # u along x, v along the (0,dy,dz) edge = z here
+    assert float(h.u[0]) == pytest.approx(0.75, abs=1e-4)
+    assert float(h.v[0]) == pytest.approx(0.75, abs=1e-4)
+    # miss outside bounds
+    o, d = ray((1.5, 2, 0.0), (0, -1, 0))
+    h = isect.rectangle_intersect(o, d, r)
+    assert t_of(h) == C.MAX_DISTANCE
+
+
+def test_cornellbox_inside_normals_point_inward():
+    cb = Cornellbox((-1, -1, -1), (1, 1, 1)).pack()
+    o, d = ray((0, 0, 0), (-1, 0, 0))
+    h = isect.cornellbox_intersect(o, d, cb)
+    assert t_of(h) == pytest.approx(1.0, rel=1e-5)
+    np.testing.assert_allclose(n_of(h), [1, 0, 0], atol=1e-5)  # inward
+    # left wall is GREEN
+    np.testing.assert_allclose(
+        [float(h.sc_override.x[0]), float(h.sc_override.y[0]),
+         float(h.sc_override.z[0])], C.GREEN, atol=1e-5)
+
+
+def test_disk_hit():
+    # disk at origin in world xz-plane (normal +y)
+    dk = Disk((0, 0, 0), 1.0, 0.25).pack()
+    o, d = ray((0.5, 2, 0), (0, -1, 0))
+    h = isect.disk_intersect(o, d, dk)
+    assert t_of(h) == pytest.approx(2.0, rel=1e-5)
+    np.testing.assert_allclose(n_of(h), [0, 1, 0], atol=1e-5)
+    # inside inner radius -> miss
+    o, d = ray((0.1, 2, 0), (0, -1, 0))
+    assert t_of(isect.disk_intersect(o, d, dk)) == C.MAX_DISTANCE
+
+
+def test_cylinder_side_hit():
+    # cylinder along world y from y=0 to y=2, radius 0.5
+    cy = Cylinder((0, 0, 0), 2.0, 0.5).pack()
+    o, d = ray((3, 1.0, 0), (-1, 0, 0))
+    h = isect.cylinder_intersect(o, d, cy)
+    assert t_of(h) == pytest.approx(2.5, rel=1e-5)
+    np.testing.assert_allclose(np.abs(n_of(h)), [1, 0, 0], atol=1e-4)
+    # above the top -> miss
+    o, d = ray((3, 2.5, 0), (-1, 0, 0))
+    assert t_of(isect.cylinder_intersect(o, d, cy)) == C.MAX_DISTANCE
+
+
+def test_cone_hit():
+    # cone apex at y=1 (height 1), base radius 0.5 at y=0
+    cn = Cone((0, 0, 0), 1.0, 0.5).pack()
+    o, d = ray((3, 0.5, 0), (-1, 0, 0))
+    h = isect.cone_intersect(o, d, cn)
+    # at half height the radius is 0.25
+    assert t_of(h) == pytest.approx(3 - 0.25, rel=1e-4)
+
+
+def test_paraboloid_hit():
+    pb = Paraboloid((0, 0, 0), 0.0, 1.0, 1.0).pack()
+    # paraboloid z = r² in local (world y axis); at world y=0.25, radius=0.5
+    o, d = ray((3, 0.25, 0), (-1, 0, 0))
+    h = isect.paraboloid_intersect(o, d, pb)
+    assert t_of(h) == pytest.approx(2.5, rel=1e-4)
+
+
+def test_hyperboloid_hit():
+    hy = Hyperboloid((0, 0, 0), (0.5, 0, -0.5), (0.5, 0, 0.5)).pack()
+    o, d = ray((3, 0, 0), (-1, 0, 0))
+    h = isect.hyperboloid_intersect(o, d, hy)
+    # waist radius 0.5 at local z=0 (world y=0)
+    assert t_of(h) == pytest.approx(2.5, rel=1e-3)
+
+
+def test_scene_dispatch_nearest_and_into():
+    from sail_tpu import Camera, Scene
+    scene = Scene()
+    scene.add(Camera((0, 0, 3), (0, 0, 0)))
+    scene.add(Sphere((0, 0, 0), 1.0, Matte()))
+    scene.add(Sphere((0, 0, -5), 1.0, Matte()))
+    packed, static = scene.pack()
+    o, d = ray((0, 0, 3), (0, 0, -1))
+    h = isect.intersect_scene(packed.objects, static, o, d)
+    assert float(h.t[0]) == pytest.approx(2.0, rel=1e-5)
+    assert int(h.obj_id[0]) == 0
+    assert bool(h.into[0])
+    # shading normal faces the ray
+    assert float(h.n.z[0]) > 0
+
+
+def test_occlusion():
+    from sail_tpu import Camera, Scene
+    scene = Scene()
+    scene.add(Camera((0, 0, 3), (0, 0, 0)))
+    scene.add(Sphere((0, 0, 0), 0.5, Matte()))
+    packed, static = scene.pack()
+    o, d = ray((0, 0, 2), (0, 0, -1))
+    occ = isect.occluded(packed.objects, static, o, d, jnp.full((1,), 4.0))
+    assert bool(occ[0])
+    occ = isect.occluded(packed.objects, static, o, d, jnp.full((1,), 1.0))
+    assert not bool(occ[0])
