@@ -261,6 +261,58 @@ def isect_cylinder(ro, rd, pos, h_, r):
             phi / (2 * np.pi), h[..., 2] / h_)
 
 
+def isect_paraboloid(ro, rd, pos, z0, z1, r):
+    o = to_obj(ro - np.asarray(pos))
+    d = to_obj(rd)
+    zmin, zmax = min(z0, z1), max(z0, z1)
+    k = zmax / (r * r)
+    a = k * (d[..., 0] ** 2 + d[..., 1] ** 2)
+    b = 2 * k * (d[..., 0] * o[..., 0] + d[..., 1] * o[..., 1]) - d[..., 2]
+    c = k * (o[..., 0] ** 2 + o[..., 1] ** 2) - o[..., 2]
+    valid, t = _clipped_quad(o, d, a, b, c, zmin, zmax)
+    t = np.where(valid, t, MAXD)
+    h = o + d * t[..., None]
+    dpdu = np.stack([-2 * np.pi * h[..., 1], 2 * np.pi * h[..., 0],
+                     np.zeros_like(t)], axis=-1)
+    hz = np.where(np.abs(h[..., 2]) < 1e-8, 1e-8, h[..., 2])
+    dpdv = np.stack([(zmax - zmin) * h[..., 0] / (2 * hz),
+                     (zmax - zmin) * h[..., 1] / (2 * hz),
+                     np.full_like(t, zmax - zmin)], axis=-1)
+    ng = _norm(_cross(dpdu, dpdv))
+    phi = np.arctan2(h[..., 1], h[..., 0])
+    phi = np.where(phi < 0, phi + 2 * np.pi, phi)
+    v = (h[..., 2] - zmin) / max(zmax - zmin, 1e-20)
+    return (t, from_obj(h) + np.asarray(pos), from_obj(ng), from_obj(dpdu),
+            phi / (2 * np.pi), v)
+
+
+def isect_hyperboloid(ro, rd, pos, p1, p2, ah, ch):
+    o = to_obj(ro - np.asarray(pos))
+    d = to_obj(rd)
+    a = ah * (d[..., 0] ** 2 + d[..., 1] ** 2) - ch * d[..., 2] ** 2
+    b = 2 * (ah * (d[..., 0] * o[..., 0] + d[..., 1] * o[..., 1]) -
+             ch * d[..., 2] * o[..., 2])
+    c = ah * (o[..., 0] ** 2 + o[..., 1] ** 2) - ch * o[..., 2] ** 2 - 1.0
+    zmin, zmax = min(p1[2], p2[2]), max(p1[2], p2[2])
+    valid, t = _clipped_quad(o, d, a, b, c, zmin, zmax)
+    t = np.where(valid, t, MAXD)
+    h = o + d * t[..., None]
+    v = (h[..., 2] - p1[2]) / max(p2[2] - p1[2], 1e-20)
+    pr = (1 - v[..., None]) * np.asarray(p1) + v[..., None] * np.asarray(p2)
+    phi = np.arctan2(pr[..., 0] * h[..., 1] - h[..., 0] * pr[..., 1],
+                     h[..., 0] * pr[..., 0] + h[..., 1] * pr[..., 1])
+    phi = np.where(phi < 0, phi + 2 * np.pi, phi)
+    dpdu = np.stack([-2 * np.pi * h[..., 1], 2 * np.pi * h[..., 0],
+                     np.zeros_like(t)], axis=-1)
+    dx, dy, dz = (np.asarray(p2) - np.asarray(p1))
+    dpdv = np.stack([dx * np.cos(phi) - dy * np.sin(phi),
+                     dx * np.sin(phi) + dy * np.cos(phi),
+                     np.full_like(t, dz)], axis=-1)
+    ng = _norm(_cross(dpdu, dpdv))
+    return (t, from_obj(h) + np.asarray(pos), from_obj(ng), from_obj(dpdu),
+            phi / (2 * np.pi), v)
+
+
 def intersect_object(obj, ro, rd):
     cat = obj.category
     if cat == C.SPHERE:
@@ -277,6 +329,11 @@ def intersect_object(obj, ro, rd):
         return isect_cone(ro, rd, obj.position, obj.height, obj.radius)
     if cat == C.CYLINDER:
         return isect_cylinder(ro, rd, obj.position, obj.height, obj.radius)
+    if cat == C.PARABOLOID:
+        return isect_paraboloid(ro, rd, obj.position, obj.z0, obj.z1, obj.radius)
+    if cat == C.HYPERBOLOID:
+        return isect_hyperboloid(ro, rd, obj.position, obj.p1, obj.p2,
+                                 obj.ah, obj.ch)
     raise NotImplementedError(f"oracle: shape {cat}")
 
 
@@ -676,10 +733,11 @@ def _metal_sample_np(mat, sc, u1, u2, wo):
 
 
 def _refract_np(i, n, eta):
+    eta = np.asarray(eta)
     cos_i = -_dot(i, n)
     k = 1 - eta * eta * (1 - cos_i ** 2)
     tir = k < 0
-    d = i * eta + n * (eta * cos_i - np.sqrt(np.maximum(k, 0)))[..., None]
+    d = i * eta[..., None] + n * (eta * cos_i - np.sqrt(np.maximum(k, 0)))[..., None]
     return np.where(tir[..., None], 0.0, d), tir
 
 
