@@ -14,7 +14,7 @@ from .vecmath import Vec3
 def uniform_sphere(u1, u2) -> Vec3:
     """Uniform direction on the unit sphere (ref: sampler.glsl:1-5)."""
     z = 1.0 - 2.0 * u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-12))
     angle = 2.0 * PI * u2
     return Vec3(r * jnp.cos(angle), r * jnp.sin(angle), z)
 
@@ -23,7 +23,7 @@ def cosine_hemisphere(u1, u2) -> Vec3:
     """Cosine-weighted hemisphere (+z) direction (ref: sampler.glsl:7-12)."""
     r = jnp.sqrt(u1)
     angle = 2.0 * PI * u2
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
+    z = jnp.sqrt(jnp.maximum(1.0 - u1, 1e-12))
     return Vec3(r * jnp.cos(angle), r * jnp.sin(angle), z)
 
 
@@ -51,7 +51,7 @@ def concentric_disk(u1, u2):
 def uniform_cone(u1, u2, cos_theta_max) -> Vec3:
     """Uniform direction in a +z cone (ref: sampler.glsl:43-49)."""
     ct = (1.0 - u1) + u1 * cos_theta_max
-    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 1e-12))
     phi = 2.0 * PI * u2
     return Vec3(jnp.cos(phi) * st, jnp.sin(phi) * st, ct)
 

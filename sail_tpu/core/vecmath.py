@@ -74,7 +74,8 @@ class Vec3(NamedTuple):
         return self.dot(self)
 
     def length(self) -> jax.Array:
-        return jnp.sqrt(self.length_sq())
+        # Floored for a finite backward pass at zero vectors.
+        return jnp.sqrt(jnp.maximum(self.length_sq(), 1e-20))
 
     def normalize(self, eps: float = 1e-20) -> "Vec3":
         inv = jax.lax.rsqrt(jnp.maximum(self.length_sq(), eps))
@@ -196,7 +197,9 @@ def refract_dir(i: Vec3, n: Vec3, eta) -> tuple[Vec3, jax.Array]:
     cos_i = -i.dot(n)
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
     tir = k < 0.0
-    k_safe = jnp.maximum(k, 0.0)
+    # Double-where: sqrt must see a strictly positive input on TIR lanes or
+    # its backward pass emits inf·0 = NaN through the masking `where`.
+    k_safe = jnp.where(tir, 1.0, jnp.maximum(k, 1e-12))
     d = i * eta + n * (eta * cos_i - jnp.sqrt(k_safe))
     zero = Vec3(jnp.zeros_like(d.x), jnp.zeros_like(d.y), jnp.zeros_like(d.z))
     return where(tir, zero, d), tir
@@ -212,7 +215,10 @@ def quadratic(a, b, c):
     """
     discrim = b * b - 4.0 * a * c
     ok = discrim >= 0.0
-    root = jnp.sqrt(jnp.maximum(discrim, 0.0))
+    # Double-where: keep sqrt's input strictly positive on masked-out lanes so
+    # the backward pass stays NaN-free (d√x/dx at 0 is ∞; ∞·0 = NaN).
+    root = jnp.sqrt(jnp.where(ok, jnp.maximum(discrim, 1e-20), 1.0))
+    root = jnp.where(ok, root, 0.0)
     q = jnp.where(b < 0.0, -0.5 * (b - root), -0.5 * (b + root))
     # Avoid 0/0; masked out by `ok` or by degenerate-a handling at call sites.
     t0 = q / jnp.where(a == 0.0, 1e-20, a)
@@ -244,7 +250,9 @@ def sin2_theta(w: Vec3):
 
 
 def sin_theta(w: Vec3):
-    return jnp.sqrt(sin2_theta(w))
+    # 1e-12 floor keeps the backward pass finite at θ=0 (negligible primal
+    # shift: √1e-12 = 1e-6, far below MC noise).
+    return jnp.sqrt(jnp.maximum(sin2_theta(w), 1e-12))
 
 
 def tan2_theta(w: Vec3):

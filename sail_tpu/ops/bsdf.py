@@ -60,10 +60,10 @@ def fr_dielectric(cos_theta_i, eta_i, eta_t):
     et = jnp.where(entering, eta_t, eta_i)
     cos_i = jnp.abs(cos_i)
 
-    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 1e-12))
     sin_t = ei / et * sin_i
     tir = sin_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin_t * sin_t, 1e-12)))
     ti = et * cos_i
     it = ei * cos_t
     ii = ei * cos_i
@@ -139,7 +139,7 @@ def _sample_wh(u1, u2, alphax, alphay, wo: Vec3, kind: int) -> Vec3:
         phi = jnp.where(is_iso, phi_i, phi_a)
 
     cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
     wh = vm.spherical_direction(sin_t, cos_t, phi)
     flip = ~vm.same_hemisphere(wo, wh)
     return vm.where(flip, -wh, wh)

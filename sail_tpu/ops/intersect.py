@@ -104,7 +104,9 @@ def sphere_intersect(ro: Vec3, rd: Vec3, s: SphereP, detail: bool = True) -> Hit
     h = Vec3(hx, h.y, h.z)
     phi = _phi_of(h.x, h.y)
     u = phi / TWO_PI
-    cos_t = jnp.clip(h.z / s.radius, -1.0, 1.0)
+    # Clip strictly inside (-1,1): d(acos)/dx diverges at ±1 and would poison
+    # the backward pass at the poles.
+    cos_t = jnp.clip(h.z / s.radius, -1.0 + 1e-6, 1.0 - 1e-6)
     theta = jnp.arccos(cos_t)
     v = theta / C.PI
 
