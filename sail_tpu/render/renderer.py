@@ -1,0 +1,117 @@
+"""Progressive renderer — the top-level orchestrator.
+
+Mirrors the reference's `Renderer` (ref: src/core/renderer.js): `update(scene)`
+recompiles/repacks on structure change, `render(scene)` adds one progressive
+sample per call with motion-reset semantics (renderer.js:57-60), and the
+display output runs the scene's reconstruction filter.
+
+TPU-native re-design: the accumulation ping-pong framebuffer
+(src/core/webgl.js:88-92) becomes an on-HBM sample-sum + count — which also
+makes render state a trivially checkpointable pytree (SURVEY.md §5
+checkpoint/resume).  Scene serialization (three R32F textures,
+src/core/tracer.js:42-90) becomes the typed PackedScene pytree; GLSL
+recompilation becomes a jit cache keyed on the static scene structure.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..core import rng
+from ..core.vecmath import Vec3
+from ..ops import filters
+from ..scene.scene import Scene
+from .integrator import render_sample
+
+
+class Renderer:
+    def __init__(self, width: int = 512, height: int = 512, seed: int = 0,
+                 max_bounces: int = C.MAX_BOUNCES):
+        self.width = width
+        self.height = height
+        self.max_bounces = max_bounces
+        self.seed = seed
+        self._packed = None
+        self._static = None
+        self._accum: Optional[Vec3] = None
+        self._normal: Optional[Vec3] = None
+        self._position: Optional[Vec3] = None
+        self.sample_count = 0
+        self._sample_fn = None
+
+    # -- scene (re)build: the reference's full-GLSL-recompile path ----------
+    def update(self, scene: Scene):
+        self._packed, self._static = scene.pack()
+        self._sample_fn = jax.jit(partial(
+            self._sample_impl, static=self._static, height=self.height,
+            width=self.width, max_bounces=self.max_bounces))
+        self.reset()
+        scene.sample_count = 0
+
+    @staticmethod
+    def _sample_impl(packed, key, *, static, height, width, max_bounces):
+        return render_sample(packed, static, height, width, key,
+                             max_bounces=max_bounces)
+
+    def reset(self):
+        zero = jnp.zeros((self.height, self.width), jnp.float32)
+        self._accum = Vec3(zero, zero, zero)
+        self._normal = Vec3(zero, zero, zero)
+        self._position = Vec3(zero, zero, zero)
+        self.sample_count = 0
+
+    # -- one progressive sample (the reference's per-rAF trace pass) --------
+    def render(self, scene: Scene):
+        if self._sample_fn is None:
+            self.update(scene)
+        if scene.moving:
+            # motion invalidates the accumulation; objects are repacked
+            # (ref: renderer.js:57-60 re-serializes while dragging)
+            self._packed, self._static = scene.pack()
+            self.reset()
+        key = rng.trace_key(self.seed, self.sample_count)
+        res = self._sample_fn(self._packed, key)
+        self._accum = self._accum + res.color
+        # G-buffer: keep the latest (matches ref MRT overwrite per frame)
+        self._normal = res.normal
+        self._position = res.position
+        self.sample_count += 1
+        scene.sample_count = self.sample_count
+
+    def render_spp(self, scene: Scene, spp: int):
+        for _ in range(spp):
+            self.render(scene)
+
+    # -- display: filter pass (the reference's fsrender draw) ---------------
+    def current(self) -> Vec3:
+        n = max(self.sample_count, 1)
+        return self._accum * (1.0 / n)
+
+    def output(self, scene: Optional[Scene] = None) -> np.ndarray:
+        """Filtered image as a float numpy (H, W, 3) array — the only
+        device→host transfer (SURVEY.md §3.5)."""
+        name = scene.filter if scene is not None else "color"
+        params = scene.filter_params if scene is not None else {}
+        img = filters.apply_filter(name, self.current(), self._normal,
+                                   self._position, **params)
+        return np.asarray(img.stack())
+
+    # -- checkpoint / resume -----------------------------------------------
+    def checkpoint(self) -> dict:
+        """Render state is (sample sum, count) — resume = keep accumulating
+        (the reference's implicit frameCache checkpoint, SURVEY.md §5)."""
+        return {
+            "accum": np.asarray(self.current().stack()) * self.sample_count
+            if self.sample_count else np.zeros((self.height, self.width, 3)),
+            "sample_count": self.sample_count,
+        }
+
+    def restore(self, state: dict):
+        a = jnp.asarray(state["accum"], jnp.float32)
+        self._accum = Vec3(a[..., 0], a[..., 1], a[..., 2])
+        self.sample_count = int(state["sample_count"])
