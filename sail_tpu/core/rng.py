@@ -8,6 +8,8 @@ given seed regardless of execution order, device count, or sharding layout.
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -52,3 +54,90 @@ TAG_LIGHT_PICK = 2
 TAG_LIGHT_U = 3
 TAG_LOBE = 4
 TAG_LENS = 5
+
+
+# --------------------------------------------------------------------------
+# Stateless per-pixel hash RNG (sharding-layout invariant)
+# --------------------------------------------------------------------------
+# Keyed on GLOBAL pixel coordinates + (seed, sample, bounce, tag), so a pixel
+# draws the same random numbers whether the image is rendered on one chip or
+# sharded over a pod — renders are bit-stable across mesh layouts (SURVEY.md
+# §7 hard part c).  PCG3D mixer (Jarzynski & Olano, JCGT 2020, public domain
+# hash construction), all uint32 VPU ops — also the scheme the Pallas kernels
+# use on-core.
+
+def _pcg3d(x, y, z):
+    """3-in 3-out PCG hash over uint32 arrays."""
+    m = jnp.uint32(1664525)
+    a = jnp.uint32(1013904223)
+    x = x * m + a
+    y = y * m + a
+    z = z * m + a
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    return x, y, z
+
+
+def _splitmix32(x):
+    x = (x + jnp.uint32(0x9E3779B9))
+    x = (x ^ (x >> 16)) * jnp.uint32(0x21F0AAAD)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x735A2D97)
+    return x ^ (x >> 15)
+
+
+def _to_unit(u):
+    """uint32 → float32 in [0, 1)."""
+    return (u >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def stream(seed, sample_idx, bounce: int, tag: int):
+    """Mix (seed, sample, bounce, tag) into one uint32 stream id."""
+    s = jnp.asarray(seed).astype(jnp.uint32)
+    s = _splitmix32(s ^ _splitmix32(jnp.asarray(sample_idx).astype(jnp.uint32)))
+    s = _splitmix32(s ^ jnp.uint32(bounce * 0x9E37 + tag * 0x85EB + 0x1234))
+    return s
+
+
+def pixel_uniform3(stream_id, ii, jj):
+    """Three independent uniforms per pixel for one (sample, bounce, tag)
+    stream.  `ii`, `jj` are global integer pixel coordinates (any shape)."""
+    ii = jnp.asarray(ii).astype(jnp.uint32)
+    jj = jnp.asarray(jj).astype(jnp.uint32)
+    sid = jnp.broadcast_to(jnp.asarray(stream_id, jnp.uint32), ii.shape)
+    a, b, c = _pcg3d(jj, ii, sid)
+    return _to_unit(a), _to_unit(b), _to_unit(c)
+
+
+class PixelNoise(NamedTuple):
+    """Noise coordinates for one progressive sample pass: the RNG is a pure
+    function of (seed, sample, bounce, tag, pixel) — no state, no keys."""
+    seed: jax.Array    # uint32 scalar
+    sample: jax.Array  # int32 scalar
+    ii: jax.Array      # global pixel rows (broadcastable to ray shape)
+    jj: jax.Array      # global pixel cols
+
+    def uniform3(self, bounce: int, tag: int):
+        return pixel_uniform3(stream(self.seed, self.sample, bounce, tag),
+                              self.ii, self.jj)
+
+
+def pixel_noise(seed, sample_idx, shape=None, ii=None, jj=None) -> PixelNoise:
+    """Build PixelNoise for an (H, W) image block or a flat ray batch."""
+    if ii is None:
+        if len(shape) == 2:
+            h, w = shape
+            ii = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], shape)
+            jj = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], shape)
+        else:
+            (n,) = shape
+            ii = jnp.arange(n, dtype=jnp.int32)
+            jj = jnp.zeros((n,), jnp.int32)
+    return PixelNoise(jnp.asarray(seed).astype(jnp.uint32),
+                      jnp.asarray(sample_idx).astype(jnp.int32), ii, jj)

@@ -1,0 +1,139 @@
+"""Sharded rendering and sharded inverse-rendering steps.
+
+TPU-native scaling layer (SURVEY.md §2.5): image tiles shard over the mesh's
+"tile" axis, samples over "spp"; each device traces its block with the SAME
+counter-based RNG streams a single chip would use (keys derive from global
+sample index and tile row offset), so the sharded render equals the
+single-chip render up to float reassociation.
+
+Communication: one psum of sample sums over "spp" for the forward image, and
+the automatic psum of replicated-parameter cotangents that shard_map's
+transpose inserts for the backward pass — gradients all-reduce over the mesh
+while each device's backward bounce accumulation stays local.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import constants as C
+from ..core.vecmath import Vec3
+from ..render.integrator import render_sample
+
+
+def _render_block(packed, static, height, width, row0, rows, spp_idx_base,
+                  spp_local, seed, max_bounces):
+    """Render `rows` image rows starting at global row `row0` (an int32
+    scalar), accumulating `spp_local` samples with global sample indices
+    spp_idx_base + i.  The per-pixel hash RNG keys off GLOBAL pixel
+    coordinates + global sample index, so any mesh layout produces the
+    bit-identical image."""
+
+    def body(i, acc):
+        res = render_sample(packed, static, rows, width, seed,
+                            spp_idx_base + i, max_bounces=max_bounces,
+                            row0=row0, image_height=height)
+        return jax.tree.map(lambda a, b: a + b, acc, res.color)
+
+    zero = jnp.zeros((rows, width), jnp.float32)
+    # Mark the carry as device-varying (shard_map vma typing).
+    init = jax.tree.map(lambda a: jax.lax.pcast(a, ("tile", "spp"),
+                                                to="varying"),
+                        Vec3(zero, zero, zero))
+    acc = jax.lax.fori_loop(0, spp_local, body, init)
+    return acc
+
+
+def render_sharded(packed, static, mesh: Mesh, height: int, width: int,
+                   spp: int, seed: int = 0,
+                   max_bounces: int = C.MAX_BOUNCES) -> Vec3:
+    """Distributed progressive render: returns the mean image as a Vec3 of
+    (H, W) arrays sharded over the "tile" axis."""
+    tile_n = mesh.shape["tile"]
+    spp_n = mesh.shape["spp"]
+    assert height % tile_n == 0, (height, tile_n)
+    assert spp % spp_n == 0, (spp, spp_n)
+    rows = height // tile_n
+    spp_local = spp // spp_n
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(),),
+             out_specs=P("tile", None))
+    def run(packed):
+        ti = jax.lax.axis_index("tile")
+        si = jax.lax.axis_index("spp")
+        acc = _render_block(packed, static, height, width, ti * rows, rows,
+                            si * spp_local, spp_local, seed, max_bounces)
+        acc = jax.tree.map(lambda a: jax.lax.psum(a, "spp"), acc)
+        return acc
+
+    acc = run(packed)
+    return acc * (1.0 / spp)
+
+
+def sharded_loss(packed, target: Vec3, static, mesh: Mesh, height: int,
+                 width: int, spp: int, seed: int = 0,
+                 max_bounces: int = C.MAX_BOUNCES):
+    """Mean-squared image loss against a (sharded or replicated) target,
+    computed without ever gathering the image: each device reduces its tile,
+    then one psum. Differentiable w.r.t. `packed`."""
+    tile_n = mesh.shape["tile"]
+    spp_n = mesh.shape["spp"]
+    rows = height // tile_n
+    spp_local = spp // spp_n
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P("tile", None)),
+             out_specs=P())
+    def run(packed, target):
+        ti = jax.lax.axis_index("tile")
+        si = jax.lax.axis_index("spp")
+        acc = _render_block(packed, static, height, width, ti * rows, rows,
+                            si * spp_local, spp_local, seed, max_bounces)
+        acc = jax.tree.map(lambda a: jax.lax.psum(a, "spp"), acc)
+        img = acc * (1.0 / spp)
+        se = ((img.x - target.x) ** 2 + (img.y - target.y) ** 2 +
+              (img.z - target.z) ** 2)
+        local = jnp.sum(se)
+        return jax.lax.psum(local, "tile") / (height * width * 3)
+
+    return run(packed, target)
+
+
+def make_train_step(static, mesh: Mesh, height: int, width: int, spp: int,
+                    optimizer, seed: int = 0,
+                    max_bounces: int = C.MAX_BOUNCES, trainable=None):
+    """Build a jitted sharded inverse-rendering step: grad of the image loss
+    w.r.t. every scene float parameter (psum-reduced over the mesh by
+    shard_map's transpose), then an optimizer update.  This is the
+    'training step' of the framework (BASELINE.md config 5).
+
+    `trainable`: optional pytree of 0/1 floats matching the PackedScene
+    structure; gradients of masked-out leaves are zeroed before the update
+    (recover materials while freezing camera/geometry, etc.)."""
+
+    def step(packed, opt_state, target):
+        loss, grads = jax.value_and_grad(sharded_loss)(
+            packed, target, static, mesh, height, width, spp, seed,
+            max_bounces)
+        if trainable is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, trainable)
+        import optax
+        updates, opt_state = optimizer.update(grads, opt_state, packed)
+        packed = optax.apply_updates(packed, updates)
+        return packed, opt_state, loss
+
+    return jax.jit(step)
+
+
+def trainable_mask(packed, predicate):
+    """Build a 0/1 mask pytree: predicate(path_str) -> bool per leaf."""
+    paths = jax.tree_util.tree_flatten_with_path(packed)
+    flat, treedef = paths
+    out = []
+    for path, leaf in flat:
+        key = jax.tree_util.keystr(path)
+        out.append(jnp.float32(1.0 if predicate(key) else 0.0))
+    return jax.tree_util.tree_unflatten(treedef, out)

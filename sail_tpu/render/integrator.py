@@ -8,6 +8,11 @@ branched.  The bounce loop is a statically unrolled Python loop (MAX_BOUNCES
 is small and static), letting XLA fuse intersect→shade→NEE per bounce into a
 handful of VPU kernels.
 
+RNG: a stateless per-pixel hash keyed on GLOBAL pixel coordinates and
+(seed, sample, bounce, tag) — renders are bit-identical under any device
+sharding layout (see core/rng.py), unlike the reference's wall-clock-seeded
+fract-sin hash (util/random.glsl, tracer.js:98).
+
 Estimator notes:
 - NEE runs for matte, non-emissive hits only (like the reference); unlike the
   reference, emission picked up by the NEXT bounce's BSDF ray is skipped when
@@ -26,7 +31,8 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..core import rng
 from ..core import vecmath as vm
-from ..core.camera import generate_rays
+from ..core.camera import rays_for_pixels
+from ..core.rng import PixelNoise
 from ..core.vecmath import Vec3
 from ..ops import intersect as isect
 from ..ops import lights as lights_ops
@@ -40,14 +46,15 @@ class TraceResult(NamedTuple):
     position: Vec3  # first-hit position (G-buffer)
 
 
-def trace_rays(scene, static, ro: Vec3, rd: Vec3, key,
+def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
                max_bounces: int = C.MAX_BOUNCES,
                clamp_weight: bool = True,
                rand_override=None) -> TraceResult:
     """Trace a batch of rays through the packed scene.
 
     `scene` is a PackedScene pytree; `static` a SceneStatic; `ro`/`rd` Vec3s
-    of identically-shaped arrays; `key` a PRNG key unique to this sample.
+    of identically-shaped arrays; `noise` a PixelNoise carrying the global
+    pixel coordinates and sample index.
 
     `rand_override`: optional list (length max_bounces) of dicts with keys
     u1,u2,u_lobe,lu1,lu2,lidx — per-bounce uniform fields replacing the
@@ -70,7 +77,6 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, key,
     n_lights = len(scene.lights)
 
     for bounce in range(max_bounces):
-        kb = rng.bounce_key(key, bounce)
         hit = isect.intersect_scene(scene.objects, static, ro, rd)
         alive = alive & hit.valid
 
@@ -95,8 +101,7 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, key,
             rb = rand_override[bounce]
             u1, u2, u_lobe = rb["u1"], rb["u2"], rb["u_lobe"]
         else:
-            u1, u2 = rng.uniform2(kb, shape, rng.TAG_BSDF)
-            u_lobe = rng.uniform(kb, shape, rng.TAG_LOBE)
+            u1, u2, u_lobe = noise.uniform3(bounce, rng.TAG_BSDF)
         ms = mat_ops.sample_material(scene.materials, static, hit.mat_row, sc,
                                      u1, u2, u_lobe, wo, hit.into)
 
@@ -113,8 +118,9 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, key,
                 rb = rand_override[bounce]
                 lu1, lu2, lidx = rb["lu1"], rb["lu2"], rb["lidx"]
             else:
-                lu1, lu2 = rng.uniform2(kb, shape, rng.TAG_LIGHT_U)
-                lidx = rng.randint(kb, shape, rng.TAG_LIGHT_PICK, 0, n_lights)
+                lu1, lu2, lr = noise.uniform3(bounce, rng.TAG_LIGHT_U)
+                lidx = jnp.minimum((lr * n_lights).astype(jnp.int32),
+                                   n_lights - 1)
             nee_mask = ms.is_matte & (~hit.emissive) & alive
             direct, wi_light = lights_ops.sample_direct(
                 scene.objects, scene.lights, static, hit.p, hit.n, lu1, lu2, lidx)
@@ -139,19 +145,31 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, key,
     return TraceResult(e, g_normal, g_position)
 
 
-def render_sample(scene, static, height: int, width: int, key,
+def render_sample(scene, static, height: int, width: int, seed, sample_idx,
                   max_bounces: int = C.MAX_BOUNCES,
-                  jitter: bool = True) -> TraceResult:
-    """One 1-spp progressive pass over the full image
-    (ref: main/fstrace.glsl + sub-pixel jitter src/core/tracer.js:94-96)."""
-    shape = (height, width)
+                  jitter: bool = True, row0=None,
+                  image_height: int = None) -> TraceResult:
+    """One 1-spp progressive pass over an image block
+    (ref: main/fstrace.glsl + sub-pixel jitter src/core/tracer.js:94-96).
+
+    `row0`: global row of this block's first row (for sharded tiles); the
+    block is `height` rows tall and `width` wide, inside an image of
+    `image_height` total rows (defaults to `height`).
+    """
+    image_height = height if image_height is None else image_height
+    r0 = jnp.asarray(0 if row0 is None else row0, jnp.int32)
+    ii = jnp.broadcast_to((r0 + jnp.arange(height, dtype=jnp.int32))[:, None],
+                          (height, width))
+    jj = jnp.broadcast_to(jnp.arange(width, dtype=jnp.int32)[None, :],
+                          (height, width))
+    noise = rng.pixel_noise(seed, sample_idx, ii=ii, jj=jj)
     if jitter:
-        jx = rng.uniform(key, shape, rng.TAG_PIXEL_JITTER)
-        jy = rng.uniform(jax.random.fold_in(key, 7), shape, rng.TAG_PIXEL_JITTER)
+        jx, jy, _ = noise.uniform3(0, rng.TAG_PIXEL_JITTER)
     else:
         jx = jy = None
-    ro, rd = generate_rays(scene.camera, height, width, jx, jy)
-    return trace_rays(scene, static, ro, rd, key, max_bounces)
+    ro, rd = rays_for_pixels(scene.camera, ii.astype(jnp.float32),
+                             jj.astype(jnp.float32), image_height, width, jx, jy)
+    return trace_rays(scene, static, ro, rd, noise, max_bounces)
 
 
 def render_image(scene, static, height: int, width: int, spp: int, seed=0,
@@ -159,11 +177,9 @@ def render_image(scene, static, height: int, width: int, spp: int, seed=0,
     """Average `spp` progressive passes — the batch analog of the reference's
     frame accumulation (src/core/tracer.js:97 textureWeight blend), kept
     entirely on-device in HBM."""
-    base = rng.trace_key(seed, 0)
 
     def body(i, acc):
-        res = render_sample(scene, static, height, width,
-                            jax.random.fold_in(base, i), max_bounces)
+        res = render_sample(scene, static, height, width, seed, i, max_bounces)
         return jax.tree.map(lambda a, b: a + b, acc, res.color)
 
     zero = jnp.zeros((height, width), jnp.float32)

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from ..core import rng
 from ..core.vecmath import Vec3
 from ..ops import filters
 from ..scene.scene import Scene
@@ -49,13 +48,15 @@ class Renderer:
         self._packed, self._static = scene.pack()
         self._sample_fn = jax.jit(partial(
             self._sample_impl, static=self._static, height=self.height,
-            width=self.width, max_bounces=self.max_bounces))
+            width=self.width, max_bounces=self.max_bounces,
+            seed=self.seed))
         self.reset()
         scene.sample_count = 0
 
     @staticmethod
-    def _sample_impl(packed, key, *, static, height, width, max_bounces):
-        return render_sample(packed, static, height, width, key,
+    def _sample_impl(packed, sample_idx, *, static, height, width,
+                     max_bounces, seed):
+        return render_sample(packed, static, height, width, seed, sample_idx,
                              max_bounces=max_bounces)
 
     def reset(self):
@@ -74,8 +75,7 @@ class Renderer:
             # (ref: renderer.js:57-60 re-serializes while dragging)
             self._packed, self._static = scene.pack()
             self.reset()
-        key = rng.trace_key(self.seed, self.sample_count)
-        res = self._sample_fn(self._packed, key)
+        res = self._sample_fn(self._packed, jnp.int32(self.sample_count))
         self._accum = self._accum + res.color
         # G-buffer: keep the latest (matches ref MRT overwrite per frame)
         self._normal = res.normal

@@ -7,6 +7,7 @@ import pytest
 
 from sail_tpu import scenes
 from sail_tpu.core.camera import generate_rays
+from sail_tpu.core.rng import pixel_noise
 from sail_tpu.render.integrator import trace_rays
 
 
@@ -15,8 +16,10 @@ H = W = 8
 
 
 def loss_fn(packed, static, key):
+    del key
     ro, rd = generate_rays(packed.camera, H, W)
-    res = trace_rays(packed, static, ro, rd, key, max_bounces=BOUNCES)
+    noise = pixel_noise(0, 0, (H, W))
+    res = trace_rays(packed, static, ro, rd, noise, max_bounces=BOUNCES)
     c = res.color
     return jnp.mean(c.x + c.y + c.z)
 
@@ -131,7 +134,8 @@ def test_grad_inverse_step_decreases_loss():
     key = jax.random.PRNGKey(2)
 
     ro, rd = generate_rays(packed.camera, H, W)
-    target = trace_rays(packed, static, ro, rd, key, max_bounces=BOUNCES).color
+    noise = pixel_noise(2, 0, (H, W))
+    target = trace_rays(packed, static, ro, rd, noise, max_bounces=BOUNCES).color
 
     # perturb kd and recover
     flat, treedef = jax.tree.flatten(packed)
@@ -143,7 +147,7 @@ def test_grad_inverse_step_decreases_loss():
     perturbed = jax.tree.unflatten(treedef, flat)
 
     def img_loss(p):
-        res = trace_rays(p, static, ro, rd, key, max_bounces=BOUNCES).color
+        res = trace_rays(p, static, ro, rd, noise, max_bounces=BOUNCES).color
         return (jnp.mean((res.x - target.x) ** 2) +
                 jnp.mean((res.y - target.y) ** 2) +
                 jnp.mean((res.z - target.z) ** 2))

@@ -9,6 +9,7 @@ from sail_tpu import scenes
 from sail_tpu.core.camera import generate_rays
 from sail_tpu.core.vecmath import Vec3
 from sail_tpu.oracle import cpu_tracer as oracle
+from sail_tpu.core.rng import pixel_noise
 from sail_tpu.render.integrator import trace_rays
 
 
@@ -37,7 +38,8 @@ def run_parity(scene, h, w, bounces, seed=0, atol=2e-3, rtol=2e-3):
 
     rand_j = [{k: jnp.asarray(v) for k, v in rb.items()} for rb in rand]
     ro, rd = generate_rays(packed.camera, h, w)
-    res = trace_rays(packed, static, ro, rd, jax.random.PRNGKey(0),
+    noise = pixel_noise(0, 0, (h, w))
+    res = trace_rays(packed, static, ro, rd, noise,
                      max_bounces=bounces, rand_override=rand_j)
     col_jax = np.asarray(res.color.stack())
 

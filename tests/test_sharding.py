@@ -1,0 +1,104 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+sharded render == replicated single-device render; sharded grads finite and
+matching; sharded train step decreases loss."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from sail_tpu import scenes
+from sail_tpu.core.vecmath import Vec3
+from sail_tpu.parallel.mesh import make_mesh
+from sail_tpu.parallel.render_sharded import (make_train_step, render_sharded,
+                                              sharded_loss, trainable_mask)
+
+H = W = 16
+SPP = 4
+BOUNCES = 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    scene = scenes.cornell_matte()
+    packed, static = scene.pack()
+    return scene, packed, static
+
+
+def test_sharded_matches_single_device(setup):
+    _, packed, static = setup
+    mesh8 = make_mesh(8, spp_axis=2)     # 4 tiles × 2 spp
+    mesh1 = make_mesh(1, spp_axis=1)
+    img8 = np.asarray(render_sharded(packed, static, mesh8, H, W, SPP,
+                                     max_bounces=BOUNCES).stack())
+    img1 = np.asarray(render_sharded(packed, static, mesh1, H, W, SPP,
+                                     max_bounces=BOUNCES).stack())
+    assert np.isfinite(img8).all()
+    # identical RNG streams ⇒ identical images up to reassociation
+    np.testing.assert_allclose(img8, img1, atol=1e-5, rtol=1e-5)
+
+
+def test_mesh_layout_invariance(setup):
+    _, packed, static = setup
+    a = render_sharded(packed, static, make_mesh(8, spp_axis=4), H, W, SPP,
+                       max_bounces=BOUNCES)
+    b = render_sharded(packed, static, make_mesh(8, spp_axis=1), H, W, SPP,
+                       max_bounces=BOUNCES)
+    np.testing.assert_allclose(np.asarray(a.stack()), np.asarray(b.stack()),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_grad_matches_single(setup):
+    _, packed, static = setup
+    mesh8 = make_mesh(8, spp_axis=2)
+    mesh1 = make_mesh(1)
+    zero = jnp.zeros((H, W), jnp.float32)
+    target = Vec3(zero, zero, zero)
+
+    _, g8 = jax.value_and_grad(sharded_loss)(packed, target, static, mesh8,
+                                             H, W, SPP, 0, BOUNCES)
+    _, g1 = jax.value_and_grad(sharded_loss)(packed, target, static, mesh1,
+                                             H, W, SPP, 0, BOUNCES)
+    l8 = jax.tree.leaves(g8)
+    l1 = jax.tree.leaves(g1)
+    assert len(l8) == len(l1)
+    for a, b in zip(l8, l1):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_sharded_train_step_decreases_loss(setup):
+    scene, packed, static = setup
+    mesh = make_mesh(8, spp_axis=2)
+
+    target_img = render_sharded(packed, static, mesh, H, W, SPP,
+                                max_bounces=BOUNCES)
+    # perturb the matte kd and recover it
+    flat, treedef = jax.tree.flatten(packed)
+    for i, leaf in enumerate(flat):
+        if leaf is packed.materials[0].kd:
+            flat[i] = jnp.float32(0.4)
+    perturbed = jax.tree.unflatten(treedef, flat)
+
+    # Optimizer update applied host-side so this test reuses the exact
+    # value_and_grad(sharded_loss) graph compiled by the grad-parity test
+    # (shard_map compiles are expensive on the 2-core CI CPU; the fully
+    # jitted path is make_train_step, exercised by dryrun_multichip).
+    opt = optax.adam(0.1)
+    mask = trainable_mask(perturbed, lambda k: ".materials" in k)
+    grad_fn = jax.value_and_grad(sharded_loss)
+    params = perturbed
+    state = opt.init(params)
+    losses = []
+    for _ in range(4):
+        loss, grads = grad_fn(params, target_img, static, mesh, H, W, SPP,
+                              0, BOUNCES)
+        grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # kd moved toward 1.0
+    assert float(params.materials[0].kd) > 0.45
