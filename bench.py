@@ -32,26 +32,39 @@ def main():
     scene = scenes.cornell_mirror()
     packed, static = scene.pack()
 
-    fwd = jax.jit(lambda p: render_image(p, static, height, width, spp,
-                                         seed=0, max_bounces=bounces))
+    # Both timed functions reduce to a SCALAR inside jit and the timing loop
+    # reads it back with float(): through the axon relay,
+    # jax.block_until_ready can return before execution completes, so a
+    # host readback is the only reliable completion barrier.
+    def fwd_impl(p, seed):
+        img = render_image(p, static, height, width, spp, seed=seed,
+                           max_bounces=bounces)
+        return img.x.sum() + img.y.sum() + img.z.sum()
 
-    def loss(p):
-        img = render_image(p, static, height, width, spp, seed=0,
+    fwd = jax.jit(fwd_impl)
+
+    def loss(p, seed):
+        img = render_image(p, static, height, width, spp, seed=seed,
                            max_bounces=bounces)
         return jnp.mean(img.x + img.y + img.z)
 
-    fwdbwd = jax.jit(jax.grad(loss))
+    def fwdbwd_impl(p, seed):
+        g = jax.grad(loss)(p, seed)
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(g))
 
-    # warmup/compile
-    jax.block_until_ready(fwd(packed))
-    jax.block_until_ready(fwdbwd(packed))
+    fwdbwd = jax.jit(fwdbwd_impl)
 
-    def time_it(fn, iters=3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(packed)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
+    float(fwd(packed, 0))      # compile
+    float(fwdbwd(packed, 0))   # compile
+
+    def time_it(fn, iters=5):
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            float(fn(packed, i))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        return times[len(times) // 2]  # median: robust to relay hiccups
 
     t_fwd = time_it(fwd)
     t_fwdbwd = time_it(fwdbwd)

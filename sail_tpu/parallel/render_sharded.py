@@ -33,11 +33,14 @@ def _render_block(packed, static, height, width, row0, rows, spp_idx_base,
     coordinates + global sample index, so any mesh layout produces the
     bit-identical image."""
 
+    @jax.checkpoint
+    def one_sample(packed, i):
+        return render_sample(packed, static, rows, width, seed,
+                             spp_idx_base + i, max_bounces=max_bounces,
+                             row0=row0, image_height=height).color
+
     def body(i, acc):
-        res = render_sample(packed, static, rows, width, seed,
-                            spp_idx_base + i, max_bounces=max_bounces,
-                            row0=row0, image_height=height)
-        return jax.tree.map(lambda a, b: a + b, acc, res.color)
+        return jax.tree.map(lambda a, b: a + b, acc, one_sample(packed, i))
 
     zero = jnp.zeros((rows, width), jnp.float32)
     # Mark the carry as device-varying (shard_map vma typing).

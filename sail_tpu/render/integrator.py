@@ -176,11 +176,21 @@ def render_image(scene, static, height: int, width: int, spp: int, seed=0,
                  max_bounces: int = C.MAX_BOUNCES):
     """Average `spp` progressive passes — the batch analog of the reference's
     frame accumulation (src/core/tracer.js:97 textureWeight blend), kept
-    entirely on-device in HBM."""
+    entirely on-device in HBM.
+
+    Each pass is rematerialized (`jax.checkpoint`): the backward pass
+    re-traces a sample's forward instead of storing every bounce's residuals
+    for every sample — without it, grad at 1024²·4spp·5 bounces needs >20 GB
+    of HBM; with it, memory is single-sample scale (FLOPs-for-HBM trade,
+    the standard TPU remat recipe)."""
+
+    @jax.checkpoint
+    def one_sample(scene, i):
+        return render_sample(scene, static, height, width, seed, i,
+                             max_bounces).color
 
     def body(i, acc):
-        res = render_sample(scene, static, height, width, seed, i, max_bounces)
-        return jax.tree.map(lambda a, b: a + b, acc, res.color)
+        return jax.tree.map(lambda a, b: a + b, acc, one_sample(scene, i))
 
     zero = jnp.zeros((height, width), jnp.float32)
     acc = Vec3(zero, zero, zero)
