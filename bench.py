@@ -26,7 +26,7 @@ def main():
     from sail_tpu.render.integrator import render_image
 
     height = width = 1024
-    spp = 4
+    spp = 64   # large spp per dispatch amortizes the ~30ms relay latency
     bounces = 5
 
     scene = scenes.cornell_mirror()
@@ -86,7 +86,7 @@ def main():
         "vs_baseline": round(mrays_fwdbwd / baseline_mrays, 3),
         "detail": {
             "fwd_mrays_per_s": round(mrays_fwd, 2),
-            "fwd_s_per_frame_4spp": round(t_fwd, 4),
+            "fwd_s_per_frame": round(t_fwd, 4),
             "fwdbwd_s": round(t_fwdbwd, 4),
             "device": str(jax.devices()[0]),
             "resolution": f"{height}x{width}", "spp": spp,
