@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
+from ..core import fastmath
 from ..core import samplers
 from ..core import vecmath as vm
 from ..core.vecmath import Vec3
@@ -38,7 +39,7 @@ class BSDFSample(NamedTuple):
     wi: Vec3            # sampled direction, local frame
     weight: Vec3        # f * |cos θi| / pdf  (path throughput multiplier)
     f_nee: Vec3         # BSDF value for light-sampling (0 for specular)
-    is_specular: jax.Array  # bool per ray
+    is_specular: jax.Array  # int32 0/1 per ray
 
 
 def _black(shape):
@@ -119,7 +120,7 @@ def _sample_wh(u1, u2, alphax, alphay, wo: Vec3, kind: int) -> Vec3:
         tan2_i = -ax * ax * log_sample
         phi_i = u2 * 2.0 * C.PI
         # anisotropic
-        phi_a = jnp.arctan(ay / ax * jnp.tan(2.0 * C.PI * u1 + 0.5 * C.PI))
+        phi_a = fastmath.atan(ay / ax * fastmath.tan(2.0 * C.PI * u1 + 0.5 * C.PI))
         phi_a = jnp.where(u1 > 0.5, phi_a + C.PI, phi_a)
         sp, cp = jnp.sin(phi_a), jnp.cos(phi_a)
         tan2_a = -log_sample / (cp * cp / (ax * ax) + sp * sp / (ay * ay))
@@ -129,7 +130,7 @@ def _sample_wh(u1, u2, alphax, alphay, wo: Vec3, kind: int) -> Vec3:
     else:  # Trowbridge-Reitz / GGX
         phi_i = 2.0 * C.PI * u2
         tan2_i = ax * ax * u1 / jnp.maximum(1.0 - u1, 1e-7)
-        phi_a = jnp.arctan(ay / ax * jnp.tan(C.PI_OVER_2 + 2.0 * C.PI * u1))
+        phi_a = fastmath.atan(ay / ax * fastmath.tan(C.PI_OVER_2 + 2.0 * C.PI * u1))
         phi_a = jnp.where(u1 > 0.5, phi_a + C.PI, phi_a)
         sp, cp = jnp.sin(phi_a), jnp.cos(phi_a)
         alpha2 = 1.0 / (cp * cp / (ax * ax) + sp * sp / (ay * ay))
@@ -204,7 +205,7 @@ def matte_sample(kd, sigma, sc: Vec3, u1, u2, wo: Vec3) -> BSDFSample:
     f = matte_f(kd, sigma, sc, wo, wi)
     w = f * jnp.where(pdf > 0.0, vm.abs_cos_theta(wi) / jnp.maximum(pdf, 1e-20), 0.0)
     shape = wo.shape
-    return BSDFSample(wi, w, f, jnp.zeros(shape, bool))
+    return BSDFSample(wi, w, f, jnp.zeros(shape, jnp.int32))
 
 
 # --------------------------------------------------------------------------
@@ -215,7 +216,7 @@ def mirror_sample(kr, sc: Vec3, wo: Vec3) -> BSDFSample:
     wi = Vec3(-wo.x, -wo.y, wo.z)
     weight = sc * kr  # noop Fresnel: f = R/|cos|, pdf = 1 ⇒ weight = R
     shape = wo.shape
-    return BSDFSample(wi, weight, _black(shape), jnp.ones(shape, bool))
+    return BSDFSample(wi, weight, _black(shape), jnp.ones(shape, jnp.int32))
 
 
 # --------------------------------------------------------------------------
@@ -246,7 +247,7 @@ def microfacet_r_sample(r: Vec3, u1, u2, wo: Vec3, alphax, alphay, kind: int,
     f = microfacet_r_f(r, wo, wi, alphax, alphay, kind, fresnel_fn)
     w = f * jnp.where(ok & (pdf > 1e-12),
                       vm.abs_cos_theta(wi) / jnp.maximum(pdf, 1e-12), 0.0)
-    return BSDFSample(wi, w, vm.where(ok, f, _black(shape)), jnp.zeros(shape, bool))
+    return BSDFSample(wi, w, vm.where(ok, f, _black(shape)), jnp.zeros(shape, jnp.int32))
 
 
 def metal_sample(p, sc: Vec3, u1, u2, wo: Vec3) -> BSDFSample:
@@ -283,7 +284,7 @@ def _specular_glass_sample(kr, kt, eta, sc: Vec3, u_lobe, wo: Vec3,
 
     wi = vm.where(pick_reflect, wi_r, wi_t)
     w = vm.where(pick_reflect, w_r, w_t)
-    return BSDFSample(wi, w, _black(shape), jnp.ones(shape, bool))
+    return BSDFSample(wi, w, _black(shape), jnp.ones(shape, jnp.int32))
 
 
 def microfacet_t_f(t_col: Vec3, wo: Vec3, wi: Vec3, eta, into, alphax, alphay,
@@ -340,7 +341,7 @@ def _rough_glass_sample(p, sc: Vec3, u1, u2, u_lobe, wo: Vec3, into) -> BSDFSamp
     pick_t = u_lobe >= 0.5
     wi = vm.where(pick_t, wi_t, refl.wi)
     w = vm.where(pick_t, w_t * 2.0, refl.weight * 2.0)
-    return BSDFSample(wi, w, _black(shape), jnp.zeros(shape, bool))
+    return BSDFSample(wi, w, _black(shape), jnp.zeros(shape, jnp.int32))
 
 
 def glass_sample(p, sc: Vec3, u1, u2, u_lobe, wo: Vec3, into) -> BSDFSample:
@@ -355,5 +356,5 @@ def glass_sample(p, sc: Vec3, u1, u2, u_lobe, wo: Vec3, into) -> BSDFSample:
         vm.where(is_spec, spec.wi, rough.wi),
         vm.where(is_spec, spec.weight, rough.weight),
         _black(wo.shape),
-        jnp.broadcast_to(is_spec, wo.shape),
+        jnp.broadcast_to(is_spec, wo.shape).astype(jnp.int32),
     )

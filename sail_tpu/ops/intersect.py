@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
+from ..core import fastmath
 from ..core import vecmath as vm
 from ..core.vecmath import Vec3
 from ..scene.geometry import BoxP, DiskP, FrustumP, HyperboloidP, ParaboloidP, SphereP
@@ -47,7 +48,7 @@ class Hit(NamedTuple):
     v: jax.Array
     # Cornell-box walls carry baked colors (shape/cornellbox.glsl:21-34).
     sc_override: Vec3
-    use_override: jax.Array  # bool
+    use_override: jax.Array  # int32 0/1 (bool-valued vectors break Mosaic select)
 
 
 def _zeros_vec(shape):
@@ -59,14 +60,14 @@ def miss(shape) -> Hit:
     z = jnp.zeros(shape, jnp.float32)
     zv = _zeros_vec(shape)
     return Hit(jnp.full(shape, C.MAX_DISTANCE, jnp.float32), zv, zv, zv, z, z,
-               zv, jnp.zeros(shape, bool))
+               zv, jnp.zeros(shape, jnp.int32))
 
 
 def _finish(valid, t, p, ng, dpdu, u, v, shape, sc=None, use_sc=None) -> Hit:
     t = jnp.where(valid, t, C.MAX_DISTANCE)
     if sc is None:
         sc = _zeros_vec(shape)
-        use_sc = jnp.zeros(shape, bool)
+        use_sc = jnp.zeros(shape, jnp.int32)
     return Hit(t, p, ng, dpdu, u, v, sc, use_sc)
 
 
@@ -75,7 +76,7 @@ def _safe_div(num, den, eps=1e-12):
 
 
 def _phi_of(x, y):
-    phi = jnp.arctan2(y, x)
+    phi = fastmath.atan2(y, x)
     return jnp.where(phi < 0.0, phi + TWO_PI, phi)
 
 
@@ -107,7 +108,7 @@ def sphere_intersect(ro: Vec3, rd: Vec3, s: SphereP, detail: bool = True) -> Hit
     # Clip strictly inside (-1,1): d(acos)/dx diverges at ±1 and would poison
     # the backward pass at the poles.
     cos_t = jnp.clip(h.z / s.radius, -1.0 + 1e-6, 1.0 - 1e-6)
-    theta = jnp.arccos(cos_t)
+    theta = fastmath.acos(cos_t)
     v = theta / C.PI
 
     dpdu = Vec3(-TWO_PI * h.y, TWO_PI * h.x, jnp.zeros(shape, jnp.float32))
@@ -428,7 +429,7 @@ def cornellbox_intersect(ro: Vec3, rd: Vec3, cb: BoxP, detail: bool = True) -> H
     on_y = jnp.abs(n.y) > 0.5
     u = jnp.where(on_x, rel.y, rel.x)
     v = jnp.where(on_x, rel.z, jnp.where(on_y, rel.z, rel.y))
-    return _finish(valid, t, p, n, dpdu, u, v, shape, sc, jnp.ones(shape, bool))
+    return _finish(valid, t, p, n, dpdu, u, v, shape, sc, jnp.ones(shape, jnp.int32))
 
 
 # --------------------------------------------------------------------------
@@ -462,7 +463,7 @@ class SceneHit(NamedTuple):
     mat_row: jax.Array   # i32 material row per ray
     tex_row: jax.Array   # i32 texture row per ray
     obj_id: jax.Array    # i32 object index per ray
-    emissive: jax.Array  # bool: hit object is an emitter
+    emissive: jax.Array  # int32 0/1: hit object is an emitter
     sc_override: Vec3
     use_override: jax.Array
     valid: jax.Array  # bool: t < MAX_DISTANCE
@@ -485,7 +486,7 @@ def intersect_scene(objects: tuple, static, ro: Vec3, rd: Vec3) -> SceneHit:
         "mat_row": jnp.zeros(shape, jnp.int32),
         "tex_row": jnp.zeros(shape, jnp.int32),
         "obj_id": jnp.full(shape, -1, jnp.int32),
-        "emissive": jnp.zeros(shape, bool),
+        "emissive": jnp.zeros(shape, jnp.int32),
     }
 
     for i, (cat, params) in enumerate(zip(static.object_categories, objects)):
@@ -502,7 +503,7 @@ def intersect_scene(objects: tuple, static, ro: Vec3, rd: Vec3) -> SceneHit:
             "mat_row": jnp.full(shape, static.object_mat_rows[i], jnp.int32),
             "tex_row": jnp.full(shape, static.object_tex_rows[i], jnp.int32),
             "obj_id": jnp.full(shape, i, jnp.int32),
-            "emissive": jnp.full(shape, bool(static.object_emissive[i]), bool),
+            "emissive": jnp.full(shape, int(static.object_emissive[i]), jnp.int32),
         }
         best_aux = jax.tree.map(lambda x, y: jnp.where(closer, x, y), aux, best_aux)
 

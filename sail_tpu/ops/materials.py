@@ -23,8 +23,8 @@ class MaterialSample(NamedTuple):
     wi: Vec3             # local frame
     weight: Vec3         # f·|cosθi|/pdf
     f_nee: Vec3          # BSDF value for NEE (zero for non-matte, like ref)
-    is_matte: jax.Array  # bool
-    is_specular: jax.Array
+    is_matte: jax.Array  # int32 0/1
+    is_specular: jax.Array  # int32 0/1
 
 
 def sample_material(materials: tuple, static, mat_row, sc: Vec3,
@@ -32,22 +32,22 @@ def sample_material(materials: tuple, static, mat_row, sc: Vec3,
     shape = wo.shape
     zero = jnp.zeros(shape, jnp.float32)
     out = MaterialSample(Vec3(zero, zero, zero), Vec3(zero, zero, zero),
-                         Vec3(zero, zero, zero), jnp.zeros(shape, bool),
-                         jnp.zeros(shape, bool))
+                         Vec3(zero, zero, zero), jnp.zeros(shape, jnp.int32),
+                         jnp.zeros(shape, jnp.int32))
     for row, (cat, p) in enumerate(zip(static.material_categories, materials)):
         mask = mat_row == row
         if cat == C.MATTE:
             s = bsdf.matte_sample(p.kd, p.sigma, sc, u1, u2, wo)
-            is_matte = jnp.ones(shape, bool)
+            is_matte = jnp.ones(shape, jnp.int32)
         elif cat == C.MIRROR:
             s = bsdf.mirror_sample(p.kr, sc, wo)
-            is_matte = jnp.zeros(shape, bool)
+            is_matte = jnp.zeros(shape, jnp.int32)
         elif cat == C.METAL:
             s = bsdf.metal_sample(p, sc, u1, u2, wo)
-            is_matte = jnp.zeros(shape, bool)
+            is_matte = jnp.zeros(shape, jnp.int32)
         elif cat == C.GLASS:
             s = bsdf.glass_sample(p, sc, u1, u2, u_lobe, wo, into)
-            is_matte = jnp.zeros(shape, bool)
+            is_matte = jnp.zeros(shape, jnp.int32)
         else:  # pragma: no cover
             raise ValueError(f"unknown material category {cat}")
         out = MaterialSample(
@@ -55,7 +55,7 @@ def sample_material(materials: tuple, static, mat_row, sc: Vec3,
             vm.where(mask, s.weight, out.weight),
             vm.where(mask, s.f_nee, out.f_nee),
             jnp.where(mask, is_matte, out.is_matte),
-            jnp.where(mask, s.is_specular, out.is_specular),
+            jnp.where(mask, s.is_specular.astype(jnp.int32), out.is_specular),
         )
     return out
 

@@ -85,7 +85,7 @@ def surface_color(textures: tuple, static, tex_row, hit_p: Vec3, uv_u, uv_v,
         else:
             val = _TEX_FNS[cat](params, uv_u, uv_v)
         sc = vm.where(mask, val, sc)
-    return vm.where(use_override, sc_override, sc)
+    return vm.where(use_override > 0, sc_override, sc)
 
 
 # --------------------------------------------------------------------------

@@ -109,7 +109,7 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
 
         # Emission pickup; skipped if the previous bounce's NEE already
         # accounted for direct light onto this path vertex.
-        emit = vm.where(skip_emission & hit.emissive, black, hit.emission)
+        emit = vm.where(skip_emission & (hit.emissive > 0), black, hit.emission)
         contrib = emit
 
         did_nee = jnp.zeros(shape, bool)
@@ -121,7 +121,7 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
                 lu1, lu2, lr = noise.uniform3(bounce, rng.TAG_LIGHT_U)
                 lidx = jnp.minimum((lr * n_lights).astype(jnp.int32),
                                    n_lights - 1)
-            nee_mask = ms.is_matte & (~hit.emissive) & alive
+            nee_mask = (ms.is_matte > 0) & (hit.emissive == 0) & alive
             direct, wi_light = lights_ops.sample_direct(
                 scene.objects, scene.lights, static, hit.p, hit.n, lu1, lu2, lidx)
             wi_light_local = vm.world_to_local(wi_light, hit.n, ss, ts)
