@@ -36,12 +36,22 @@ def main():
     # reads it back with float(): through the axon relay,
     # jax.block_until_ready can return before execution completes, so a
     # host readback is the only reliable completion barrier.
+    from sail_tpu.ops.pallas.megakernel import render_block_pallas
+
     def fwd_impl(p, seed):
+        # Pallas megakernel forward (bit-identical to the XLA integrator)
+        img = render_block_pallas(p, static, height, width, spp, seed, 0,
+                                  max_bounces=bounces)
+        return img.x.sum() + img.y.sum() + img.z.sum()
+
+    fwd = jax.jit(fwd_impl)
+
+    def fwd_xla_impl(p, seed):
         img = render_image(p, static, height, width, spp, seed=seed,
                            max_bounces=bounces)
         return img.x.sum() + img.y.sum() + img.z.sum()
 
-    fwd = jax.jit(fwd_impl)
+    fwd_xla = jax.jit(fwd_xla_impl)
 
     def loss(p, seed):
         img = render_image(p, static, height, width, spp, seed=seed,
@@ -55,6 +65,7 @@ def main():
     fwdbwd = jax.jit(fwdbwd_impl)
 
     float(fwd(packed, 0))      # compile
+    float(fwd_xla(packed, 0))  # compile
     float(fwdbwd(packed, 0))   # compile
 
     def time_it(fn, iters=5):
@@ -67,6 +78,7 @@ def main():
         return times[len(times) // 2]  # median: robust to relay hiccups
 
     t_fwd = time_it(fwd)
+    t_fwd_xla = time_it(fwd_xla)
     t_fwdbwd = time_it(fwdbwd)
 
     # ray counting: per pixel-sample, `bounces` closest-hit rays + up to
@@ -86,6 +98,7 @@ def main():
         "vs_baseline": round(mrays_fwdbwd / baseline_mrays, 3),
         "detail": {
             "fwd_mrays_per_s": round(mrays_fwd, 2),
+            "fwd_xla_mrays_per_s": round(rays / t_fwd_xla / 1e6, 2),
             "fwd_s_per_frame": round(t_fwd, 4),
             "fwdbwd_s": round(t_fwdbwd, 4),
             "device": str(jax.devices()[0]),

@@ -47,24 +47,30 @@ def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
     (for parity testing) the interpreter path."""
     from ...render.integrator import trace_rays
 
-    zero = jnp.zeros(ii.shape, jnp.float32)
-    acc = Vec3(zero, zero, zero)
-    for s in range(spp):
+    def one(s, acc):
         noise = PixelNoise(seed, sample0 + s, ii, jj)
         jx, jy, _ = noise.uniform3(0, rng.TAG_PIXEL_JITTER)
         ro, rd = rays_for_pixels(pk.camera, ii.astype(jnp.float32),
                                  jj.astype(jnp.float32), height, width, jx, jy)
         res = trace_rays(pk, static, ro, rd, noise, max_bounces)
-        acc = acc + res.color
-    return acc
+        return acc + res.color
+
+    zero = jnp.zeros(ii.shape, jnp.float32)
+    # fori_loop (not Python unroll): one traced trace body regardless of spp,
+    # keeping Mosaic compile time flat.
+    return jax.lax.fori_loop(0, spp, one, Vec3(zero, zero, zero))
 
 
 def render_block_pallas(packed, static, height: int, width: int, spp: int,
                         seed, sample0, max_bounces: int = C.MAX_BOUNCES,
-                        tile_rows: int = 16, interpret: bool = False) -> Vec3:
+                        tile_rows: int = 8, interpret=None) -> Vec3:
     """Forward render of an H×W image via the Pallas megakernel.
 
     Returns the SUM of `spp` sample passes (divide by spp for the mean)."""
+    if interpret is None:
+        # Mosaic only lowers for TPU; fall back to the interpreter on CPU
+        # (tests / virtual-device meshes).
+        interpret = jax.default_backend() == "cpu"
     assert height % tile_rows == 0, (height, tile_rows)
     params, treedef, n_leaves = _flatten_scene(packed)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))

@@ -1,0 +1,45 @@
+"""Pallas megakernel parity vs the XLA integrator (interpreter mode on CPU;
+the same comparison runs compiled on the real chip — see CLAUDE.md)."""
+import jax
+import numpy as np
+import pytest
+
+from sail_tpu import scenes
+from sail_tpu.ops.pallas.megakernel import render_block_pallas
+from sail_tpu.render.integrator import render_image
+
+
+@pytest.mark.parametrize("scene_fn", [scenes.cornell_matte,
+                                      scenes.cornell_mirror])
+def test_megakernel_matches_xla(scene_fn):
+    scene = scene_fn()
+    packed, static = scene.pack()
+    H = W = 8
+    spp = 1
+    a = np.asarray(render_block_pallas(packed, static, H, W, spp, 0, 0,
+                                       max_bounces=2, tile_rows=8,
+                                       interpret=True).stack()) / spp
+    b = np.asarray(render_image(packed, static, H, W, spp, seed=0,
+                                max_bounces=2).stack())
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_megakernel_custom_vjp_grads():
+    from sail_tpu.ops.pallas.megakernel import render_image_fast
+    import jax.numpy as jnp
+
+    scene = scenes.cornell_matte()
+    packed, static = scene.pack()
+
+    def loss(p):
+        # interpreter-mode pallas is slow; tiny image
+        img = render_image_fast(p, static, 8, 8, 1, 0, 2)
+        return jnp.mean(img.x + img.y + img.z)
+
+    # forward runs the megakernel (interpret on CPU via monkeypatched flag
+    # is not plumbed; instead check the custom_vjp structure by grad of the
+    # XLA-backed backward on CPU)
+    g = jax.grad(lambda p: loss(p))(packed)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
