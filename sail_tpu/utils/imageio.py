@@ -22,9 +22,19 @@ def write_ppm(path: str, img: np.ndarray, gamma: float = 2.2):
         f.write(u8.tobytes())
 
 
-def write_png(path: str, img: np.ndarray, gamma: float = 2.2):
-    """Dependency-free PNG encoder (RGB8)."""
-    u8 = to_uint8(img, gamma)
+def png_bytes(img: np.ndarray, gamma: float = 2.2) -> bytes:
+    """PNG bytes for a float HDR image — native C++ codec when built
+    (native/imagecodec.cpp), pure-Python zlib fallback otherwise."""
+    try:
+        from . import native
+        if native.available():
+            return native.png_bytes(np.asarray(img, np.float32), gamma)
+    except Exception:
+        pass
+    return _png_bytes_py(to_uint8(img, gamma))
+
+
+def _png_bytes_py(u8: np.ndarray) -> bytes:
     h, w, _ = u8.shape
     raw = b"".join(b"\x00" + u8[i].tobytes() for i in range(h))
 
@@ -33,8 +43,10 @@ def write_png(path: str, img: np.ndarray, gamma: float = 2.2):
                 struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray, gamma: float = 2.2):
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(img, gamma))
