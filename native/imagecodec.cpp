@@ -60,13 +60,16 @@ extern "C" {
 // HDR float RGB (h*w*3) -> RGB8 with clamp + gamma, via LUT.
 void tonemap_u8(const float* hdr, int h, int w, float gamma_value,
                 uint8_t* out) {
+    // LUT indexed in sqrt-domain: the gamma curve is steep near zero, so a
+    // linear-domain table loses dark-end precision; sqrt indexing gives
+    // quadratically finer resolution where it matters.
     constexpr int N = 4096;
     static thread_local uint8_t lut[N + 1];
     static thread_local float last_gamma = -1.0f;
     if (last_gamma != gamma_value) {
         for (int i = 0; i <= N; i++) {
-            float x = (float)i / N;
-            lut[i] = (uint8_t)(powf(x, 1.0f / gamma_value) * 255.0f + 0.5f);
+            float s = (float)i / N;
+            lut[i] = (uint8_t)(powf(s * s, 1.0f / gamma_value) * 255.0f + 0.5f);
         }
         last_gamma = gamma_value;
     }
@@ -74,7 +77,7 @@ void tonemap_u8(const float* hdr, int h, int w, float gamma_value,
     for (size_t i = 0; i < n; i++) {
         float x = hdr[i];
         x = x < 0.0f ? 0.0f : (x > 1.0f ? 1.0f : x);
-        out[i] = lut[(int)(x * N + 0.5f)];
+        out[i] = lut[(int)(sqrtf(x) * N + 0.5f)];
     }
 }
 
