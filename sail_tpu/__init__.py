@@ -19,6 +19,11 @@ from .scene.material import Glass, Material, Matte, Metal, Mirror
 from .scene.scene import Camera, PackedScene, Scene, SceneStatic
 from .scene.texture import (Bilerp, Checkerboard, Checkerboard2, Color, Mix,
                             ScaleT, Texture, UniformColor, UV)
+from .utils.matrix import Matrix, Vector
+
+# The reference names this texture `Scale` (ref: index.js:41); `ScaleT`
+# avoided clashing with Matrix.Scale but the reference spelling works too.
+Scale = ScaleT
 
 __all__ = [
     "constants", "MAX_BOUNCES",
@@ -29,8 +34,9 @@ __all__ = [
     "Material", "Matte", "Mirror", "Metal", "Glass",
     "Light", "AreaLight", "PointLight", "SpotLight",
     "Texture", "UniformColor", "Checkerboard", "Checkerboard2", "Bilerp",
-    "Mix", "ScaleT", "UV", "Color",
-    "Renderer",
+    "Mix", "ScaleT", "Scale", "UV", "Color",
+    "Matrix", "Vector",
+    "Renderer", "Control",
 ]
 
 __version__ = "0.1.0"
@@ -42,4 +48,7 @@ def __getattr__(name):
     if name == "Renderer":
         from .render.renderer import Renderer
         return Renderer
+    if name == "Control":
+        from .render.control import Control
+        return Control
     raise AttributeError(f"module 'sail_tpu' has no attribute {name!r}")
