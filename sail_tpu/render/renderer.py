@@ -113,5 +113,20 @@ class Renderer:
 
     def restore(self, state: dict):
         a = jnp.asarray(state["accum"], jnp.float32)
+        if a.shape[:2] != (self.height, self.width):
+            raise ValueError(
+                f"checkpoint is {a.shape[1]}x{a.shape[0]} but this Renderer "
+                f"is {self.width}x{self.height}")
         self._accum = Vec3(a[..., 0], a[..., 1], a[..., 2])
         self.sample_count = int(state["sample_count"])
+
+    def save(self, path: str):
+        """Persist render state to disk; resume with :meth:`load` and keep
+        accumulating samples (counter-based RNG makes the continuation
+        identical to an uninterrupted render)."""
+        np.savez(path, **self.checkpoint())
+
+    def load(self, path: str):
+        with np.load(path) as data:
+            self.restore({"accum": data["accum"],
+                          "sample_count": int(data["sample_count"])})

@@ -60,6 +60,25 @@ def test_checkpoint_resume(renderer_and_scene):
     np.testing.assert_allclose(r.output(scene), img_before, rtol=1e-5)
 
 
+def test_checkpoint_to_disk_resume_continues_identically(
+        renderer_and_scene, tmp_path):
+    """Disk save/load then continued sampling must match an uninterrupted
+    render bit-for-bit (counter-based RNG, SURVEY.md §5 checkpoint/resume)."""
+    r, scene = renderer_and_scene
+    r.reset()
+    r.render(scene)
+    r.render(scene)
+    path = str(tmp_path / "state.npz")
+    r.save(path)
+    r.render(scene)                     # uninterrupted: 3 samples
+    img_uninterrupted = r.output(scene)
+    r.reset()
+    r.load(path)
+    assert r.sample_count == 2
+    r.render(scene)                     # resumed: same 3rd sample
+    np.testing.assert_allclose(r.output(scene), img_uninterrupted, rtol=1e-6)
+
+
 def test_filter_switch(renderer_and_scene):
     r, scene = renderer_and_scene
     r.reset()
