@@ -46,10 +46,104 @@ class TraceResult(NamedTuple):
     position: Vec3  # first-hit position (G-buffer)
 
 
+class _PathState(NamedTuple):
+    """Per-lane state carried across bounces (the loop-carried registers of
+    the reference's bounce loop, trace/path.glsl:16-37)."""
+    ro: Vec3
+    rd: Vec3
+    e: Vec3
+    throughput: Vec3
+    alive: jnp.ndarray
+    skip_emission: jnp.ndarray
+    g_normal: Vec3
+    g_position: Vec3
+
+
+def _bounce_step(scene, state: _PathState, noise: PixelNoise, *, static,
+                 bounce: int, clamp_weight: bool,
+                 rand_override=None) -> _PathState:
+    """One bounce: intersect → shade → NEE → continue.  Pure function of
+    (scene, state) so it can be rematerialized per-bounce
+    (`jax.checkpoint`) in memory-tight backward passes."""
+    ro, rd = state.ro, state.rd
+    shape = ro.shape
+    zero = jnp.zeros(shape, jnp.float32)
+    black = Vec3(zero, zero, zero)
+    n_lights = len(scene.lights)
+
+    hit = isect.intersect_scene(scene.objects, static, ro, rd)
+    alive = state.alive & hit.valid
+
+    g_normal = hit.n if bounce == 0 else state.g_normal
+    g_position = hit.p if bounce == 0 else state.g_position
+
+    # Shading frame: ss from dpdu (fallback to any tangent when dpdu is
+    # degenerate, e.g. sphere poles), ts completes the basis
+    # (ref: trace/path.glsl:3).
+    dpdu_ok = hit.dpdu.length_sq() > 1e-16
+    ss = vm.where(dpdu_ok, hit.dpdu, vm.ortho(hit.n)).normalize()
+    # Orthogonalize against n (dpdu need not be perpendicular to n).
+    ss = (ss - hit.n * ss.dot(hit.n)).normalize()
+    ts = hit.n.cross(ss)
+    wo = vm.world_to_local(-rd, hit.n, ss, ts)
+
+    sc = tex_ops.surface_color(scene.textures, static, hit.tex_row, hit.p,
+                               hit.u, hit.v, hit.sc_override, hit.use_override)
+
+    if rand_override is not None:
+        rb = rand_override[bounce]
+        u1, u2, u_lobe = rb["u1"], rb["u2"], rb["u_lobe"]
+    else:
+        u1, u2, u_lobe = noise.uniform3(bounce, rng.TAG_BSDF)
+    ms = mat_ops.sample_material(scene.materials, static, hit.mat_row, sc,
+                                 u1, u2, u_lobe, wo, hit.into)
+
+    weight = ms.weight.clip(0.0, 1.0) if clamp_weight else ms.weight
+
+    # Emission pickup; skipped if the previous bounce's NEE already
+    # accounted for direct light onto this path vertex.
+    emit = vm.where(state.skip_emission & (hit.emissive > 0), black,
+                    hit.emission)
+    contrib = emit
+
+    did_nee = jnp.zeros(shape, bool)
+    if n_lights > 0:
+        if rand_override is not None:
+            rb = rand_override[bounce]
+            lu1, lu2, lidx = rb["lu1"], rb["lu2"], rb["lidx"]
+        else:
+            lu1, lu2, lr = noise.uniform3(bounce, rng.TAG_LIGHT_U)
+            lidx = jnp.minimum((lr * n_lights).astype(jnp.int32),
+                               n_lights - 1)
+        nee_mask = (ms.is_matte > 0) & (hit.emissive == 0) & alive
+        direct, wi_light = lights_ops.sample_direct(
+            scene.objects, scene.lights, static, hit.p, hit.n, lu1, lu2, lidx)
+        wi_light_local = vm.world_to_local(wi_light, hit.n, ss, ts)
+        f_light = mat_ops.eval_matte_f(scene.materials, static, hit.mat_row,
+                                       sc, wo, wi_light_local)
+        direct = direct * f_light
+        contrib = contrib + vm.where(nee_mask, direct, black)
+        did_nee = nee_mask
+
+    e = state.e + state.throughput * vm.where(alive, contrib, black)
+    throughput = state.throughput * weight
+
+    # Continue the path: offset origin along ±normal (path.glsl:32-34).
+    wi_world = vm.local_to_world(ms.wi, hit.n, ss, ts)
+    outdot = hit.n.dot(wi_world)
+    ro = hit.p + hit.n * jnp.where(outdot > C.EPSILON, 1e-4, -1e-4)
+    rd = wi_world
+    alive = alive & (throughput.max_component() > 0.0)
+
+    return _PathState(ro, rd, e, throughput, alive, did_nee,
+                      g_normal, g_position)
+
+
 def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
                max_bounces: int = C.MAX_BOUNCES,
                clamp_weight: bool = True,
-               rand_override=None) -> TraceResult:
+               rand_override=None,
+               remat_bounces: bool = False) -> TraceResult:
     """Trace a batch of rays through the packed scene.
 
     `scene` is a PackedScene pytree; `static` a SceneStatic; `ro`/`rd` Vec3s
@@ -59,6 +153,10 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
     `rand_override`: optional list (length max_bounces) of dicts with keys
     u1,u2,u_lobe,lu1,lu2,lidx — per-bounce uniform fields replacing the
     internal RNG, for deterministic parity against the CPU oracle.
+
+    `remat_bounces`: rematerialize each bounce in the backward pass
+    (`jax.checkpoint` around the bounce body) — peak residual memory drops
+    from all-bounces to one bounce; identical primal values.
     """
     shape = jnp.broadcast_shapes(ro.shape, rd.shape)
     ro = ro.broadcast_to(shape)
@@ -66,83 +164,21 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
 
     zero = jnp.zeros(shape, jnp.float32)
     black = Vec3(zero, zero, zero)
-    e = black
-    throughput = Vec3(jnp.ones(shape, jnp.float32), jnp.ones(shape, jnp.float32),
-                      jnp.ones(shape, jnp.float32))
-    alive = jnp.ones(shape, bool)
-    skip_emission = jnp.zeros(shape, bool)
-    g_normal = black
-    g_position = black
-
-    n_lights = len(scene.lights)
+    ones = Vec3(jnp.ones(shape, jnp.float32), jnp.ones(shape, jnp.float32),
+                jnp.ones(shape, jnp.float32))
+    state = _PathState(ro, rd, black, ones,
+                       jnp.ones(shape, bool), jnp.zeros(shape, bool),
+                       black, black)
 
     for bounce in range(max_bounces):
-        hit = isect.intersect_scene(scene.objects, static, ro, rd)
-        alive = alive & hit.valid
+        step = lambda s, st, b=bounce: _bounce_step(
+            s, st, noise, static=static, bounce=b,
+            clamp_weight=clamp_weight, rand_override=rand_override)
+        if remat_bounces:
+            step = jax.checkpoint(step)
+        state = step(scene, state)
 
-        if bounce == 0:
-            g_normal = hit.n
-            g_position = hit.p
-
-        # Shading frame: ss from dpdu (fallback to any tangent when dpdu is
-        # degenerate, e.g. sphere poles), ts completes the basis
-        # (ref: trace/path.glsl:3).
-        dpdu_ok = hit.dpdu.length_sq() > 1e-16
-        ss = vm.where(dpdu_ok, hit.dpdu, vm.ortho(hit.n)).normalize()
-        # Orthogonalize against n (dpdu need not be perpendicular to n).
-        ss = (ss - hit.n * ss.dot(hit.n)).normalize()
-        ts = hit.n.cross(ss)
-        wo = vm.world_to_local(-rd, hit.n, ss, ts)
-
-        sc = tex_ops.surface_color(scene.textures, static, hit.tex_row, hit.p,
-                                   hit.u, hit.v, hit.sc_override, hit.use_override)
-
-        if rand_override is not None:
-            rb = rand_override[bounce]
-            u1, u2, u_lobe = rb["u1"], rb["u2"], rb["u_lobe"]
-        else:
-            u1, u2, u_lobe = noise.uniform3(bounce, rng.TAG_BSDF)
-        ms = mat_ops.sample_material(scene.materials, static, hit.mat_row, sc,
-                                     u1, u2, u_lobe, wo, hit.into)
-
-        weight = ms.weight.clip(0.0, 1.0) if clamp_weight else ms.weight
-
-        # Emission pickup; skipped if the previous bounce's NEE already
-        # accounted for direct light onto this path vertex.
-        emit = vm.where(skip_emission & (hit.emissive > 0), black, hit.emission)
-        contrib = emit
-
-        did_nee = jnp.zeros(shape, bool)
-        if n_lights > 0:
-            if rand_override is not None:
-                rb = rand_override[bounce]
-                lu1, lu2, lidx = rb["lu1"], rb["lu2"], rb["lidx"]
-            else:
-                lu1, lu2, lr = noise.uniform3(bounce, rng.TAG_LIGHT_U)
-                lidx = jnp.minimum((lr * n_lights).astype(jnp.int32),
-                                   n_lights - 1)
-            nee_mask = (ms.is_matte > 0) & (hit.emissive == 0) & alive
-            direct, wi_light = lights_ops.sample_direct(
-                scene.objects, scene.lights, static, hit.p, hit.n, lu1, lu2, lidx)
-            wi_light_local = vm.world_to_local(wi_light, hit.n, ss, ts)
-            f_light = mat_ops.eval_matte_f(scene.materials, static, hit.mat_row,
-                                           sc, wo, wi_light_local)
-            direct = direct * f_light
-            contrib = contrib + vm.where(nee_mask, direct, black)
-            did_nee = nee_mask
-
-        e = e + throughput * vm.where(alive, contrib, black)
-        throughput = throughput * weight
-        skip_emission = did_nee
-
-        # Continue the path: offset origin along ±normal (path.glsl:32-34).
-        wi_world = vm.local_to_world(ms.wi, hit.n, ss, ts)
-        outdot = hit.n.dot(wi_world)
-        ro = hit.p + hit.n * jnp.where(outdot > C.EPSILON, 1e-4, -1e-4)
-        rd = wi_world
-        alive = alive & (throughput.max_component() > 0.0)
-
-    return TraceResult(e, g_normal, g_position)
+    return TraceResult(state.e, state.g_normal, state.g_position)
 
 
 def render_sample(scene, static, height: int, width: int, seed, sample_idx,

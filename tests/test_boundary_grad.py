@@ -1,0 +1,150 @@
+"""Silhouette (boundary) gradients: edge-sampled term vs finite differences.
+
+Naive AD misses the boundary term of the pixel integral; these tests check
+that (a) the silhouette geometry is exact, (b) the edge-sampled boundary
+term matches finite differences of the true (jittered, multi-spp) pixel
+integral — including an analytic cross-check where the term is exactly
+d(pi * R_screen^2)/d(theta) / N.
+
+Scope matches the estimator (sail_tpu/diff/boundary.py): PRIMARY-visibility
+silhouettes.  The test scenes are built so that the camera silhouette is the
+only discontinuity (emissive sphere, 1 bounce): in scenes with NEE shadows
+or indirect bounces, FD additionally sees shadow/indirect boundary terms
+that the estimator intentionally does not model (documented limitation).
+The reference has no gradients at all (SURVEY.md §2.5); this is SURVEY.md §7
+hard part (a).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sail_tpu as sail
+from sail_tpu.core.vecmath import Vec3, splat
+from sail_tpu.diff.boundary import (boundary_term, screen_project,
+                                    sphere_silhouette)
+from sail_tpu.render.integrator import render_image
+
+H = W = 40
+SPP = 192
+BOUNCES = 1
+SEED = 3
+
+
+def _scene(dx=0.0, radius=0.38):
+    """Emissive sphere inside a (dark, 1-bounce) Cornell box: the camera
+    silhouette is the only discontinuity, but the multi-object scene still
+    exercises object indexing, projection, and the image-adjoint gather."""
+    scene = sail.Scene()
+    scene.add(sail.Camera([0.0, 0.0, 2.5], [0.0, 0.0, 0.0]))
+    scene.add(sail.Cornellbox([-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]))
+    scene.add(sail.Sphere([0.15 + dx, -0.2, 0.2], radius,
+                          emission=[1.0, 1.0, 1.0]))
+    return scene
+
+
+def test_silhouette_is_tangent_circle():
+    from sail_tpu.core.camera import make_camera
+    cam = make_camera([0.0, 0.0, 2.5], [0.0, 0.0, 0.0])
+    c = splat([0.3, -0.2, 0.1])
+    r = jnp.float32(0.4)
+    ts = (jnp.arange(32, dtype=jnp.float32) + 0.5) / 32
+    s = sphere_silhouette(cam, c, r, ts)
+    # on the sphere
+    np.testing.assert_allclose(np.asarray((s - c).length()), 0.4, atol=1e-5)
+    # tangency: view direction is perpendicular to the surface normal at s
+    tang = (s - c).dot(s - cam.eye)
+    np.testing.assert_allclose(np.asarray(tang), 0.0, atol=1e-5)
+
+
+def test_screen_project_inverts_ray_generation():
+    from sail_tpu.core.camera import make_camera, rays_for_pixels
+    cam = make_camera([0.2, -0.1, 2.5], [0.0, 0.1, 0.0])
+    ii = jnp.array([3.25, 17.5, 38.9])
+    jj = jnp.array([1.75, 22.0, 39.1])
+    ro, rd = rays_for_pixels(cam, ii, jj, H, W, jitter_x=0.0, jitter_y=0.0)
+    p = ro + rd * 2.1
+    col, row, depth = screen_project(cam, p, H, W)
+    np.testing.assert_allclose(np.asarray(col), np.asarray(jj), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(row), np.asarray(ii), atol=1e-4)
+    assert (np.asarray(depth) > 0).all()
+
+
+@pytest.fixture(scope="module")
+def loss_and_adjoint():
+    """Loss with an x-ramp weight (so translation has first-order signal):
+    L = mean(ramp · img) over pixels/channels; adjoint = ramp / (3·H·W)."""
+    ramp = jnp.linspace(0.25, 2.0, W)[None, :] * jnp.ones((H, 1))
+
+    def make(scene):
+        packed, static = scene.pack()
+
+        @jax.jit
+        def loss(pk):
+            img = render_image(pk, static, H, W, SPP, seed=SEED,
+                               max_bounces=BOUNCES)
+            return ((img.x + img.y + img.z) * ramp).mean() / 3.0, img
+
+        return packed, static, loss
+
+    wn = ramp / (3.0 * H * W)
+    return make, Vec3(wn, wn, wn)
+
+
+def test_boundary_term_matches_fd_translation(loss_and_adjoint):
+    make, dL = loss_and_adjoint
+    packed, static, loss = make(_scene())
+    eps = 0.02
+
+    lp, _ = loss(make(_scene(dx=+eps))[0])
+    lm, _ = loss(make(_scene(dx=-eps))[0])
+    g_fd = (float(lp) - float(lm)) / (2 * eps)
+
+    interior, _ = jax.grad(loss, has_aux=True)(packed)
+    g_int = float(interior.objects[1].center.x)
+
+    bnd = boundary_term(packed, static, dL, H, W, n_edge_samples=512,
+                        n_noise=4, seed=11, max_bounces=BOUNCES)
+    g_total = g_int + float(bnd.objects[1].center.x)
+
+    # interior alone misses the (dominant) silhouette term
+    assert abs(g_int - g_fd) > 2 * abs(g_total - g_fd), \
+        f"fd={g_fd} int={g_int} total={g_total}"
+    assert g_total == pytest.approx(g_fd, rel=0.25, abs=2e-3), \
+        f"fd={g_fd} total={g_total}"
+
+
+def test_boundary_term_matches_fd_and_analytic_radius(loss_and_adjoint):
+    """Radius: FD, edge-sampled boundary, and the analytic
+    d(area)/dr / N all agree (for an emissive sphere the boundary term is
+    exactly the swept screen area times the weighted emission delta)."""
+    make, dL = loss_and_adjoint
+    packed, static, loss = make(_scene())
+    r0 = 0.38
+    eps = 0.015
+
+    lp, _ = loss(make(_scene(radius=r0 + eps))[0])
+    lm, _ = loss(make(_scene(radius=r0 - eps))[0])
+    g_fd = (float(lp) - float(lm)) / (2 * eps)
+
+    interior, _ = jax.grad(loss, has_aux=True)(packed)
+    bnd = boundary_term(packed, static, dL, H, W, n_edge_samples=512,
+                        n_noise=4, seed=11, max_bounces=BOUNCES)
+    g_total = (float(interior.objects[1].radius) +
+               float(bnd.objects[1].radius))
+    assert g_total == pytest.approx(g_fd, rel=0.2, abs=2e-3), \
+        f"fd={g_fd} total={g_total}"
+    assert float(bnd.objects[1].radius) > 0  # growing a bright sphere
+
+
+def test_boundary_term_zero_without_spheres():
+    scene = sail.Scene()
+    scene.add(sail.Camera([0.0, 0.0, 2.5], [0.0, 0.0, 0.0]))
+    scene.add(sail.Cornellbox([-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]))
+    lamp = sail.Rectangle([-0.4, 0.97, -0.4], [0.4, 0.97, 0.4])
+    scene.add(sail.AreaLight(lamp, [6.0, 6.0, 6.0]))
+    packed, static = scene.pack()
+    zero_img = Vec3(*(jnp.zeros((H, W), jnp.float32),) * 3)
+    g = boundary_term(packed, static, zero_img, H, W, n_edge_samples=8,
+                      n_noise=1)
+    assert all(float(jnp.abs(l).max()) == 0.0 for l in jax.tree.leaves(g))
