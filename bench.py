@@ -36,7 +36,8 @@ def main():
     # reads it back with float(): through the axon relay,
     # jax.block_until_ready can return before execution completes, so a
     # host readback is the only reliable completion barrier.
-    from sail_tpu.ops.pallas.megakernel import render_block_pallas
+    from sail_tpu.ops.pallas.megakernel import (render_block_pallas,
+                                                render_image_fast)
 
     def fwd_impl(p, seed):
         # Pallas megakernel forward (bit-identical to the XLA integrator)
@@ -53,20 +54,33 @@ def main():
 
     fwd_xla = jax.jit(fwd_xla_impl)
 
-    def loss(p, seed):
-        img = render_image(p, static, height, width, spp, seed=seed,
-                           max_bounces=bounces)
-        return jnp.mean(img.x + img.y + img.z)
-
     def fwdbwd_impl(p, seed):
-        g = jax.grad(loss)(p, seed)
+        # HEADLINE: Pallas forward + Pallas backward megakernels (gradients
+        # match the XLA integrator's to f32 reassociation error)
+        def loss(p):
+            img = render_image_fast(p, seed, static, height, width, spp,
+                                    bounces)
+            return jnp.mean(img.x + img.y + img.z)
+        g = jax.grad(loss)(p)
         return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(g))
 
     fwdbwd = jax.jit(fwdbwd_impl)
 
-    float(fwd(packed, 0))      # compile
-    float(fwd_xla(packed, 0))  # compile
-    float(fwdbwd(packed, 0))   # compile
+    def loss_xla(p, seed):
+        img = render_image(p, static, height, width, spp, seed=seed,
+                           max_bounces=bounces)
+        return jnp.mean(img.x + img.y + img.z)
+
+    def fwdbwd_xla_impl(p, seed):
+        g = jax.grad(loss_xla)(p, seed)
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(g))
+
+    fwdbwd_xla = jax.jit(fwdbwd_xla_impl)
+
+    float(fwd(packed, 0))         # compile
+    float(fwd_xla(packed, 0))     # compile
+    float(fwdbwd(packed, 0))      # compile
+    float(fwdbwd_xla(packed, 0))  # compile
 
     def time_it(fn, iters=5):
         times = []
@@ -80,6 +94,7 @@ def main():
     t_fwd = time_it(fwd)
     t_fwd_xla = time_it(fwd_xla)
     t_fwdbwd = time_it(fwdbwd)
+    t_fwdbwd_xla = time_it(fwdbwd_xla)
 
     # ray counting: per pixel-sample, `bounces` closest-hit rays + up to
     # `bounces` NEE shadow rays (matte vertices only; count 1/bounce as the
@@ -99,8 +114,10 @@ def main():
         "detail": {
             "fwd_mrays_per_s": round(mrays_fwd, 2),
             "fwd_xla_mrays_per_s": round(rays / t_fwd_xla / 1e6, 2),
+            "fwdbwd_xla_mrays_per_s": round(rays / t_fwdbwd_xla / 1e6, 2),
             "fwd_s_per_frame": round(t_fwd, 4),
             "fwdbwd_s": round(t_fwdbwd, 4),
+            "fwdbwd_xla_s": round(t_fwdbwd_xla, 4),
             "device": str(jax.devices()[0]),
             "resolution": f"{height}x{width}", "spp": spp,
             "bounces": bounces,

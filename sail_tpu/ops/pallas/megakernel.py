@@ -16,8 +16,11 @@ with `jax.tree.unflatten` — so the same static specialization (only the
 scene's shape/material/light types compile) applies inside the kernel.
 
 Differentiability: `render_image_fast` carries a custom_vjp whose backward
-re-traces the pure-XLA integrator — identical math, so gradients are exactly
-the XLA path's, while the forward runs the megakernel.
+is a second Pallas megakernel (`render_grad_block_pallas`): per-sample
+vector-Jacobian products re-traced entirely in VMEM with manual per-bounce
+checkpointing, parameter gradients accumulated across the sequential grid —
+the same estimator and RNG as the forward, so gradients match the XLA path
+to float32 reassociation error.
 """
 from __future__ import annotations
 
@@ -71,6 +74,11 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
         # Mosaic only lowers for TPU; fall back to the interpreter on CPU
         # (tests / virtual-device meshes).
         interpret = jax.default_backend() == "cpu"
+    while height % tile_rows:
+        tile_rows //= 2  # fall back to a dividing tile height (worst case 1)
+        tile_rows = max(tile_rows, 1)
+        if tile_rows == 1:
+            break
     assert height % tile_rows == 0, (height, tile_rows)
     params, treedef, n_leaves = _flatten_scene(packed)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
@@ -108,28 +116,188 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
     return Vec3(*outs)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
-def render_image_fast(packed, static, height, width, spp, seed, max_bounces):
-    """Mean image via the Pallas megakernel forward; gradients via the XLA
-    integrator (identical estimator)."""
+def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
+                             spp: int, seed, sample0,
+                             max_bounces: int = C.MAX_BOUNCES,
+                             tile_rows: int = 8, tile_cols: int = 256,
+                             interpret=None):
+    """Backward Pallas megakernel: dL/d(packed) for L = Σ_pixels g · image_sum
+    where image_sum is the spp-SUM the forward kernel produces.
+
+    The whole adjoint runs in VMEM: each grid step takes one image tile,
+    loops over samples, and computes the per-sample vector-Jacobian product
+    by re-tracing that sample's path *inside the kernel* with manual
+    per-bounce checkpointing (Mosaic cannot lower jax.checkpoint's remat2
+    primitive, so the bounce loop stores its small carry states and each
+    bounce is linearized and transposed from its stored input), so peak residual
+    memory is one bounce's intermediates for one tile — the wavefront analog
+    of the forward kernel's no-HBM-between-bounces property.  Parameter
+    gradients accumulate across the (sequential) TPU grid into a single
+    (1, n_leaves) block.
+    """
+    from ...render.integrator import _PathState, _bounce_step
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    while height % tile_rows:
+        tile_rows = max(tile_rows // 2, 1)
+        if tile_rows == 1:
+            break
+    while width % tile_cols:
+        tile_cols = max(tile_cols // 2, 1)
+        if tile_cols == 1:
+            break
+    assert height % tile_rows == 0, (height, tile_rows)
+    assert width % tile_cols == 0, (width, tile_cols)
+    params, treedef, n_leaves = _flatten_scene(packed)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
+    sample_arr = jnp.asarray(sample0, jnp.int32).reshape((1,))
+
+    grid = (height // tile_rows, width // tile_cols)
+
+    def kernel(params_ref, seed_ref, sample_ref, gx_ref, gy_ref, gz_ref,
+               dout_ref):
+        params_vec = jnp.stack([params_ref[i] for i in range(n_leaves)])
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        shape = (tile_rows, tile_cols)
+        ii = (ti * tile_rows +
+              jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+        jj = (tj * tile_cols +
+              jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        gx, gy, gz = gx_ref[:], gy_ref[:], gz_ref[:]
+
+        def one_sample_grad(pvec, s):
+            """d(Σ g·color_s)/d(pvec) via MANUAL per-bounce checkpointing:
+            the forward stores only the small per-bounce carry states, then
+            each bounce is re-linearized and transposed from its stored
+            input.  (jax.checkpoint would express this directly, but Mosaic
+            has no lowering for the remat2 primitive inside kernels.)"""
+            noise = PixelNoise(seed_ref[0], sample_ref[0] + s, ii, jj)
+            jx, jy, _ = noise.uniform3(0, rng.TAG_PIXEL_JITTER)
+
+            def camera_rays(pv):
+                pk = jax.tree.unflatten(treedef,
+                                        [pv[i] for i in range(n_leaves)])
+                return rays_for_pixels(pk.camera, ii.astype(jnp.float32),
+                                       jj.astype(jnp.float32), height, width,
+                                       jx, jy)
+
+            def init_state(pv):
+                ro, rd = camera_rays(pv)
+                zero = jnp.zeros(ro.shape, jnp.float32)
+                black = Vec3(zero, zero, zero)
+                ones = Vec3(zero + 1.0, zero + 1.0, zero + 1.0)
+                return _PathState(ro, rd, black, ones,
+                                  jnp.ones(ro.shape, bool),
+                                  jnp.zeros(ro.shape, bool), black, black)
+
+            def step(pv, st, b):
+                pk = jax.tree.unflatten(treedef,
+                                        [pv[i] for i in range(n_leaves)])
+                return _bounce_step(pk, st, noise, static=static, bounce=b,
+                                    clamp_weight=True)
+
+            # forward: keep each bounce's input state (small carry)
+            states = [init_state(pvec)]
+            for b in range(max_bounces):
+                states.append(step(pvec, states[b], b))
+
+            # reverse: cotangent on the final state's accumulated radiance
+            import numpy as _np
+            from jax import dtypes as _dtypes
+
+            zero = jnp.zeros(ii.shape, jnp.float32)
+            black = Vec3(zero, zero, zero)
+
+            def _ct_like(ct, primal):
+                # non-inexact primals (bool masks) take float0 cotangents
+                if not jnp.issubdtype(primal.dtype, jnp.inexact):
+                    return _np.zeros(primal.shape, _dtypes.float0)
+                return ct
+            d_state = jax.tree.map(
+                _ct_like,
+                _PathState(black, black, Vec3(gx, gy, gz), black,
+                           zero, zero, black, black),
+                states[max_bounces])
+            dvec_acc = jnp.zeros((n_leaves,), jnp.float32)
+            for b in reversed(range(max_bounces)):
+                _, vjp_fn = jax.vjp(
+                    lambda pv, st: step(pv, st, b), pvec, states[b])
+                d_pv, d_st = vjp_fn(d_state)
+                dvec_acc = dvec_acc + d_pv
+                d_state = d_st
+            # camera-ray generation also depends on params (eye/basis)
+            _, vjp_rays = jax.vjp(init_state, pvec)
+            (d_pv0,) = vjp_rays(d_state)
+            return dvec_acc + d_pv0
+
+        def body(s, dacc):
+            return dacc + one_sample_grad(params_vec, s)
+
+        if spp == 1:
+            # no sample loop: keeps the CPU (interpret/eager) test path free
+            # of staged control flow, whose XLA CPU compile is pathological
+            dvec = one_sample_grad(params_vec, 0)
+        else:
+            dvec = jax.lax.fori_loop(0, spp, body,
+                                     jnp.zeros((n_leaves,), jnp.float32))
+
+        @pl.when((ti == 0) & (tj == 0))
+        def _():
+            dout_ref[:] = jnp.zeros_like(dout_ref)
+
+        dout_ref[0, :] += dvec
+
+    out_shape = jax.ShapeDtypeStruct((1, n_leaves), jnp.float32)
+    gblock = pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+    dout = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            gblock, gblock, gblock,
+        ],
+        out_specs=pl.BlockSpec((1, n_leaves), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(params, seed_arr, sample_arr, g.x, g.y, g.z)
+    leaves = [dout[0, i] for i in range(n_leaves)]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def render_image_fast(packed, seed, static, height, width, spp, max_bounces):
+    """Mean image via the Pallas megakernel forward; gradients via the Pallas
+    backward megakernel (identical estimator — the backward re-traces the
+    same paths with the same RNG).  `seed` is a regular (traceable) argument
+    so jitted callers can vary it per step; its cotangent is float0."""
     acc = render_block_pallas(packed, static, height, width, spp, seed, 0,
                               max_bounces)
     return acc * (1.0 / spp)
 
 
-def _fast_fwd(packed, static, height, width, spp, seed, max_bounces):
-    out = render_image_fast(packed, static, height, width, spp, seed,
+def _fast_fwd(packed, seed, static, height, width, spp, max_bounces):
+    out = render_image_fast(packed, seed, static, height, width, spp,
                             max_bounces)
-    return out, packed
+    return out, (packed, seed)
 
 
-def _fast_bwd(static, height, width, spp, seed, max_bounces, packed, g):
-    from ...render.integrator import render_image
+def _fast_bwd(static, height, width, spp, max_bounces, res, g):
+    import numpy as _np
+    from jax import dtypes as _dtypes
 
-    _, vjp_fn = jax.vjp(
-        lambda p: render_image(p, static, height, width, spp, seed,
-                               max_bounces), packed)
-    return vjp_fn(g)
+    packed, seed = res
+    # forward returned mean = sum/spp: scale the cotangent onto the sum
+    g_sum = g * (1.0 / spp)
+    dpacked = render_grad_block_pallas(packed, static, g_sum, height, width,
+                                       spp, seed, 0, max_bounces)
+    d_seed = _np.zeros(jnp.shape(seed), _dtypes.float0)
+    return (dpacked, d_seed)
 
 
 render_image_fast.defvjp(_fast_fwd, _fast_bwd)

@@ -137,6 +137,57 @@ def test_boundary_term_matches_fd_and_analytic_radius(loss_and_adjoint):
     assert float(bnd.objects[1].radius) > 0  # growing a bright sphere
 
 
+def test_shadow_boundary_closes_nee_gap():
+    """Matte sphere + area light at 1 bounce: the full gradient is
+    interior + camera-silhouette + shadow(penumbra-curve) terms.
+
+    The FD references were measured offline on this exact scene/loss at
+    spp=256, eps=0.025/0.02, averaged over 10 (x) / 6 (r) seeds:
+        fd_x = +0.004687 ± 0.000205,   fd_r = −0.009466 ± 0.000242
+    (reproduce with the loop in /tmp-style scripts: central differences of
+    the jitted loss below with seeds 3,13,...,93).  Interior-only is wildly
+    off for BOTH (int_x ≈ +0.0079, int_r ≈ −0.061): the two edge terms must
+    close the gap."""
+    from sail_tpu.diff.boundary import shadow_boundary_term
+
+    spp = 256
+    scene = sail.Scene()
+    scene.add(sail.Camera([0.0, 0.0, 2.5], [0.0, 0.0, 0.0]))
+    scene.add(sail.Cornellbox([-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]))
+    scene.add(sail.Sphere([0.15, -0.2, 0.2], 0.38, sail.Matte(0.9)))
+    lamp = sail.Rectangle([-0.4, 0.97, -0.4], [0.4, 0.97, 0.4])
+    scene.add(sail.AreaLight(lamp, [6.0, 6.0, 6.0]))
+    packed, static = scene.pack()
+
+    def loss(pk, seed):
+        img = render_image(pk, static, H, W, spp, seed=seed, max_bounces=1)
+        return (img.x ** 2 + img.y ** 2 + img.z ** 2).mean() / 3.0, img
+
+    fd_x, fd_r = 0.004687, -0.009466
+
+    g3, img = jax.grad(lambda p: loss(p, 3), has_aux=True)(packed)
+    g13, _ = jax.grad(lambda p: loss(p, 13), has_aux=True)(packed)
+    int_x = (float(g3.objects[1].center.x) + float(g13.objects[1].center.x)) / 2
+    int_r = (float(g3.objects[1].radius) + float(g13.objects[1].radius)) / 2
+
+    n = 3.0 * H * W
+    dL = Vec3(img.x * (2.0 / n), img.y * (2.0 / n), img.z * (2.0 / n))
+    sil = boundary_term(packed, static, dL, H, W, n_edge_samples=1024,
+                        n_noise=8, seed=7, max_bounces=1)
+    shd = shadow_boundary_term(packed, static, dL, H, W, n_curve_samples=96)
+
+    tot_x = int_x + float(sil.objects[1].center.x) + float(shd.objects[1].center.x)
+    tot_r = int_r + float(sil.objects[1].radius) + float(shd.objects[1].radius)
+
+    # both edge terms must be load-bearing and close most of the gap
+    # (tolerances allow the estimators' own MC noise: the sqrt-delta
+    # extrapolation amplifies the Δf sampling noise ~3x)
+    assert abs(tot_x - fd_x) < 0.65 * abs(int_x - fd_x), (tot_x, int_x, fd_x)
+    assert abs(tot_r - fd_r) < 0.1 * abs(int_r - fd_r), (tot_r, int_r, fd_r)
+    assert tot_x == pytest.approx(fd_x, rel=0.45, abs=5e-4), (tot_x, fd_x)
+    assert tot_r == pytest.approx(fd_r, rel=0.30, abs=1.5e-3), (tot_r, fd_r)
+
+
 def test_boundary_term_zero_without_spheres():
     scene = sail.Scene()
     scene.add(sail.Camera([0.0, 0.0, 2.5], [0.0, 0.0, 0.0]))
