@@ -66,10 +66,16 @@ def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
 
 def render_block_pallas(packed, static, height: int, width: int, spp: int,
                         seed, sample0, max_bounces: int = C.MAX_BOUNCES,
-                        tile_rows: int = 8, interpret=None) -> Vec3:
-    """Forward render of an H×W image via the Pallas megakernel.
+                        tile_rows: int = 8, interpret=None,
+                        row0=0, image_height: int = None,
+                        vma=None) -> Vec3:
+    """Forward render of an H×W block via the Pallas megakernel.
 
-    Returns the SUM of `spp` sample passes (divide by spp for the mean)."""
+    Returns the SUM of `spp` sample passes (divide by spp for the mean).
+
+    `row0`/`image_height`: when rendering a tile of a larger (sharded)
+    image, the block's global first row and the full image height — RNG
+    streams and camera rays then match the single-chip render exactly."""
     if interpret is None:
         # Mosaic only lowers for TPU; fall back to the interpreter on CPU
         # (tests / virtual-device meshes).
@@ -80,25 +86,33 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
         if tile_rows == 1:
             break
     assert height % tile_rows == 0, (height, tile_rows)
+    image_height = height if image_height is None else image_height
     params, treedef, n_leaves = _flatten_scene(packed)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
     sample_arr = jnp.asarray(sample0, jnp.int32).reshape((1,))
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape((1,))
 
-    def kernel(params_ref, seed_ref, sample_ref, out_x, out_y, out_z):
+    def kernel(params_ref, seed_ref, sample_ref, row0_ref,
+               out_x, out_y, out_z):
         vals = [params_ref[i] for i in range(n_leaves)]
         pk = jax.tree.unflatten(treedef, vals)
         ti = pl.program_id(0)
-        ii = (ti * tile_rows +
+        ii = (row0_ref[0] + ti * tile_rows +
               jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0))
         jj = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
-        acc = _trace_tile(pk, static, ii, jj, height, width,
+        acc = _trace_tile(pk, static, ii, jj, image_height, width,
                           seed_ref[0], sample_ref[0],
                           spp, max_bounces)
         out_x[:] = acc.x
         out_y[:] = acc.y
         out_z[:] = acc.z
 
-    out_shape = jax.ShapeDtypeStruct((height, width), jnp.float32)
+    if vma is None:
+        out_shape = jax.ShapeDtypeStruct((height, width), jnp.float32)
+    else:
+        # under shard_map with vma checking, declare the output device-varying
+        out_shape = jax.ShapeDtypeStruct((height, width), jnp.float32,
+                                         vma=frozenset(vma))
     block = pl.BlockSpec((tile_rows, width), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -108,11 +122,12 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(block, block, block),
         out_shape=(out_shape, out_shape, out_shape),
         interpret=interpret,
-    )(params, seed_arr, sample_arr)
+    )(params, seed_arr, sample_arr, row0_arr)
     return Vec3(*outs)
 
 
@@ -120,7 +135,8 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                              spp: int, seed, sample0,
                              max_bounces: int = C.MAX_BOUNCES,
                              tile_rows: int = 8, tile_cols: int = 256,
-                             interpret=None):
+                             interpret=None, row0=0,
+                             image_height: int = None, vma=None):
     """Backward Pallas megakernel: dL/d(packed) for L = Σ_pixels g · image_sum
     where image_sum is the spp-SUM the forward kernel produces.
 
@@ -149,19 +165,25 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
             break
     assert height % tile_rows == 0, (height, tile_rows)
     assert width % tile_cols == 0, (width, tile_cols)
+    image_height = height if image_height is None else image_height
     params, treedef, n_leaves = _flatten_scene(packed)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
     sample_arr = jnp.asarray(sample0, jnp.int32).reshape((1,))
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape((1,))
 
     grid = (height // tile_rows, width // tile_cols)
 
-    def kernel(params_ref, seed_ref, sample_ref, gx_ref, gy_ref, gz_ref,
-               dout_ref):
+    def kernel(params_ref, seed_ref, sample_ref, row0_ref,
+               gx_ref, gy_ref, gz_ref, dout_ref):
         params_vec = jnp.stack([params_ref[i] for i in range(n_leaves)])
+        if vma is not None:
+            # under shard_map vma typing the cotangents (g blocks) are
+            # device-varying; the primal chain must carry the same tags
+            params_vec = jax.lax.pcast(params_vec, tuple(vma), to="varying")
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         shape = (tile_rows, tile_cols)
-        ii = (ti * tile_rows +
+        ii = (row0_ref[0] + ti * tile_rows +
               jax.lax.broadcasted_iota(jnp.int32, shape, 0))
         jj = (tj * tile_cols +
               jax.lax.broadcasted_iota(jnp.int32, shape, 1))
@@ -180,12 +202,16 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                 pk = jax.tree.unflatten(treedef,
                                         [pv[i] for i in range(n_leaves)])
                 return rays_for_pixels(pk.camera, ii.astype(jnp.float32),
-                                       jj.astype(jnp.float32), height, width,
-                                       jx, jy)
+                                       jj.astype(jnp.float32), image_height,
+                                       width, jx, jy)
 
             def init_state(pv):
                 ro, rd = camera_rays(pv)
                 zero = jnp.zeros(ro.shape, jnp.float32)
+                if vma is not None:
+                    # constants must carry the same device-varying tags as
+                    # the rest of the chain or their vjp rejects cotangents
+                    zero = jax.lax.pcast(zero, tuple(vma), to="varying")
                 black = Vec3(zero, zero, zero)
                 ones = Vec3(zero + 1.0, zero + 1.0, zero + 1.0)
                 return _PathState(ro, rd, black, ones,
@@ -208,6 +234,8 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
             from jax import dtypes as _dtypes
 
             zero = jnp.zeros(ii.shape, jnp.float32)
+            if vma is not None:
+                zero = jax.lax.pcast(zero, tuple(vma), to="varying")
             black = Vec3(zero, zero, zero)
 
             def _ct_like(ct, primal):
@@ -235,13 +263,15 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
         def body(s, dacc):
             return dacc + one_sample_grad(params_vec, s)
 
+        dvec0 = jnp.zeros((n_leaves,), jnp.float32)
+        if vma is not None:
+            dvec0 = jax.lax.pcast(dvec0, tuple(vma), to="varying")
         if spp == 1:
             # no sample loop: keeps the CPU (interpret/eager) test path free
             # of staged control flow, whose XLA CPU compile is pathological
             dvec = one_sample_grad(params_vec, 0)
         else:
-            dvec = jax.lax.fori_loop(0, spp, body,
-                                     jnp.zeros((n_leaves,), jnp.float32))
+            dvec = jax.lax.fori_loop(0, spp, body, dvec0)
 
         @pl.when((ti == 0) & (tj == 0))
         def _():
@@ -249,7 +279,11 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
 
         dout_ref[0, :] += dvec
 
-    out_shape = jax.ShapeDtypeStruct((1, n_leaves), jnp.float32)
+    if vma is None:
+        out_shape = jax.ShapeDtypeStruct((1, n_leaves), jnp.float32)
+    else:
+        out_shape = jax.ShapeDtypeStruct((1, n_leaves), jnp.float32,
+                                         vma=frozenset(vma))
     gblock = pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j),
                           memory_space=pltpu.VMEM)
     dout = pl.pallas_call(
@@ -259,13 +293,14 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             gblock, gblock, gblock,
         ],
         out_specs=pl.BlockSpec((1, n_leaves), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
         interpret=interpret,
-    )(params, seed_arr, sample_arr, g.x, g.y, g.z)
+    )(params, seed_arr, sample_arr, row0_arr, g.x, g.y, g.z)
     leaves = [dout[0, i] for i in range(n_leaves)]
     return jax.tree.unflatten(treedef, leaves)
 
@@ -301,3 +336,39 @@ def _fast_bwd(static, height, width, spp, max_bounces, res, g):
 
 
 render_image_fast.defvjp(_fast_fwd, _fast_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def render_tile_fast(packed, seed, sample0, row0, static, rows, width, spp,
+                     image_height, max_bounces, vma=None):
+    """Sharded-tile entry: the spp-SUM of a `rows`×`width` block whose global
+    first row is `row0`, inside an image `image_height` tall — forward and
+    backward both Pallas megakernels.  `seed`/`sample0`/`row0` are traceable
+    (device-varying under shard_map); cotangents are float0."""
+    return render_block_pallas(packed, static, rows, width, spp, seed,
+                               sample0, max_bounces, row0=row0,
+                               image_height=image_height, vma=vma)
+
+
+def _tile_fwd(packed, seed, sample0, row0, static, rows, width, spp,
+              image_height, max_bounces, vma=None):
+    out = render_tile_fast(packed, seed, sample0, row0, static, rows, width,
+                           spp, image_height, max_bounces, vma)
+    return out, (packed, seed, sample0, row0)
+
+
+def _tile_bwd(static, rows, width, spp, image_height, max_bounces, vma,
+              res, g):
+    import numpy as _np
+    from jax import dtypes as _dtypes
+
+    packed, seed, sample0, row0 = res
+    dpacked = render_grad_block_pallas(packed, static, g, rows, width, spp,
+                                       seed, sample0, max_bounces,
+                                       row0=row0, image_height=image_height,
+                                       vma=vma)
+    f0 = lambda v: _np.zeros(jnp.shape(v), _dtypes.float0)
+    return (dpacked, f0(seed), f0(sample0), f0(row0))
+
+
+render_tile_fast.defvjp(_tile_fwd, _tile_bwd)

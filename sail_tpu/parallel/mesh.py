@@ -31,6 +31,11 @@ def make_mesh(n_devices: int | None = None, spp_axis: int | None = None,
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available "
+                f"({[str(d) for d in devices]})")
         devices = devices[:n_devices]
     n = len(devices)
     if spp_axis is None:

@@ -25,6 +25,13 @@ from ..core.vecmath import Vec3
 from ..render.integrator import render_sample
 
 
+def _use_pallas() -> bool:
+    """Ride the Pallas megakernels (fwd + bwd in VMEM) per device on TPU;
+    the XLA integrator elsewhere (CPU interpret-mode kernels can't compile
+    the in-kernel adjoint in reasonable time)."""
+    return jax.default_backend() == "tpu"
+
+
 def _render_block(packed, static, height, width, row0, rows, spp_idx_base,
                   spp_local, seed, max_bounces):
     """Render `rows` image rows starting at global row `row0` (an int32
@@ -32,6 +39,13 @@ def _render_block(packed, static, height, width, row0, rows, spp_idx_base,
     spp_idx_base + i.  The per-pixel hash RNG keys off GLOBAL pixel
     coordinates + global sample index, so any mesh layout produces the
     bit-identical image."""
+    if _use_pallas():
+        from ..ops.pallas.megakernel import render_tile_fast
+        # note: the enclosing shard_map runs with check_vma=False — JAX's
+        # varying-manual-axes typing cannot yet see through pallas_call
+        # (vjp cotangent/type mismatches, interpreter dynamic_slice bugs)
+        return render_tile_fast(packed, seed, spp_idx_base, row0, static,
+                                rows, width, spp_local, height, max_bounces)
 
     @jax.checkpoint
     def one_sample(packed, i):
@@ -64,7 +78,7 @@ def render_sharded(packed, static, mesh: Mesh, height: int, width: int,
     spp_local = spp // spp_n
 
     @partial(shard_map, mesh=mesh, in_specs=(P(),),
-             out_specs=P("tile", None))
+             out_specs=P("tile", None), check_vma=not _use_pallas())
     def run(packed):
         ti = jax.lax.axis_index("tile")
         si = jax.lax.axis_index("spp")
@@ -89,7 +103,7 @@ def sharded_loss(packed, target: Vec3, static, mesh: Mesh, height: int,
     spp_local = spp // spp_n
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), P("tile", None)),
-             out_specs=P())
+             out_specs=P(), check_vma=not _use_pallas())
     def run(packed, target):
         ti = jax.lax.axis_index("tile")
         si = jax.lax.axis_index("spp")

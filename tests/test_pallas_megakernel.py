@@ -33,13 +33,11 @@ def test_megakernel_custom_vjp_grads():
     packed, static = scene.pack()
 
     def loss(p):
-        # interpreter-mode pallas is slow; tiny image
-        img = render_image_fast(p, static, 8, 8, 1, 0, 2)
+        # interpreter-mode pallas is slow; tiny image, 1 bounce
+        img = render_image_fast(p, 0, static, 8, 8, 1, 1)
         return jnp.mean(img.x + img.y + img.z)
 
-    # forward runs the megakernel (interpret on CPU via monkeypatched flag
-    # is not plumbed; instead check the custom_vjp structure by grad of the
-    # XLA-backed backward on CPU)
+    # forward AND backward run the pallas megakernels (interpret on CPU)
     g = jax.grad(lambda p: loss(p))(packed)
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()

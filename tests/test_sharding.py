@@ -102,3 +102,38 @@ def test_sharded_train_step_decreases_loss(setup):
     assert losses[-1] < losses[0]
     # kd moved toward 1.0
     assert float(params.materials[0].kd) > 0.45
+
+
+def test_pallas_sharded_path_matches_xla(monkeypatch):
+    """The TPU production path routes each device's tile through the Pallas
+    megakernels (forward + backward).  Forced on here (CPU interpret) at
+    1 bounce / tiny size: the sharded image must be bit-identical to the
+    XLA path and the sharded-loss gradients must match.
+
+    Kept minimal (1 bounce, 8x8, 2 devices' worth of work on an 8-device
+    mesh is unnecessary — use 2) because interpret-mode kernels containing
+    the in-kernel adjoint compile very slowly on CPU."""
+    from sail_tpu.parallel import render_sharded as rs
+
+    packed, static = scenes.cornell_matte().pack()
+    h = w = 8
+    spp = 2
+    bounces = 1
+    mesh = make_mesh(2)
+
+    tgt = rs.render_sharded(packed, static, mesh, h, w, spp, seed=9,
+                            max_bounces=bounces)
+    g_xla = jax.grad(lambda p: rs.sharded_loss(
+        p, tgt, static, mesh, h, w, spp, 3, bounces))(packed)
+
+    monkeypatch.setattr(rs, "_use_pallas", lambda: True)
+    img_pal = rs.render_sharded(packed, static, mesh, h, w, spp, seed=9,
+                                max_bounces=bounces)
+    for a, b in zip(jax.tree.leaves(tgt), jax.tree.leaves(img_pal)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    g_pal = jax.grad(lambda p: rs.sharded_loss(
+        p, tgt, static, mesh, h, w, spp, 3, bounces))(packed)
+    for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
