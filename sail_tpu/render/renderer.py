@@ -28,6 +28,12 @@ from ..scene.scene import Scene
 from .integrator import render_sample
 
 
+def _use_megakernel() -> bool:
+    """Batch spp through the Pallas megakernel on TPU (bit-identical to the
+    per-sample XLA path, one dispatch instead of spp round-trips)."""
+    return jax.default_backend() == "tpu"
+
+
 class Renderer:
     def __init__(self, width: int = 512, height: int = 512, seed: int = 0,
                  max_bounces: int = C.MAX_BOUNCES):
@@ -42,6 +48,8 @@ class Renderer:
         self._position: Optional[Vec3] = None
         self.sample_count = 0
         self._sample_fn = None
+        self._batch_fns = {}      # spp -> jitted megakernel batch
+        self._gbuffer_ok = False
 
     # -- scene (re)build: the reference's full-GLSL-recompile path ----------
     def update(self, scene: Scene):
@@ -65,6 +73,7 @@ class Renderer:
         self._normal = Vec3(zero, zero, zero)
         self._position = Vec3(zero, zero, zero)
         self.sample_count = 0
+        self._gbuffer_ok = False
 
     # -- one progressive sample (the reference's per-rAF trace pass) --------
     def render(self, scene: Scene):
@@ -80,12 +89,37 @@ class Renderer:
         # G-buffer: keep the latest (matches ref MRT overwrite per frame)
         self._normal = res.normal
         self._position = res.position
+        self._gbuffer_ok = True
         self.sample_count += 1
         scene.sample_count = self.sample_count
 
     def render_spp(self, scene: Scene, spp: int):
-        for _ in range(spp):
-            self.render(scene)
+        """Accumulate `spp` samples.  On TPU this is ONE megakernel dispatch
+        (the whole sample batch runs in VMEM), identical results to `spp`
+        calls of :meth:`render`; the G-buffer is filled lazily when a
+        filter needs it."""
+        if not _use_megakernel():
+            for _ in range(spp):
+                self.render(scene)
+            return
+        if self._sample_fn is None:
+            self.update(scene)
+        if scene.moving:
+            self._packed, self._static = scene.pack()
+            self.reset()
+        if spp not in self._batch_fns:
+            from ..ops.pallas.megakernel import render_block_pallas
+            static, h, w, b, seed = (self._static, self.height, self.width,
+                                     self.max_bounces, self.seed)
+            self._batch_fns[spp] = jax.jit(
+                lambda p, s0: render_block_pallas(p, static, h, w, spp, seed,
+                                                  s0, b))
+        acc = self._batch_fns[spp](self._packed,
+                                   jnp.int32(self.sample_count))
+        self._accum = self._accum + acc
+        self._gbuffer_ok = False
+        self.sample_count += spp
+        scene.sample_count = self.sample_count
 
     # -- display: filter pass (the reference's fsrender draw) ---------------
     def current(self) -> Vec3:
@@ -97,6 +131,12 @@ class Renderer:
         device→host transfer (SURVEY.md §3.5)."""
         name = scene.filter if scene is not None else "color"
         params = scene.filter_params if scene is not None else {}
+        if (name in ("normal", "position", "wavelet")
+                and not self._gbuffer_ok and self._sample_fn is not None):
+            # megakernel batches skip the G-buffer; fill it with one pass
+            res = self._sample_fn(self._packed, jnp.int32(0))
+            self._normal, self._position = res.normal, res.position
+            self._gbuffer_ok = True
         img = filters.apply_filter(name, self.current(), self._normal,
                                    self._position, **params)
         return np.asarray(img.stack())
