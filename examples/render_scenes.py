@@ -25,12 +25,18 @@ def main():
     names = ([args.scene] if args.scene != "all" else
              ["cornell_matte", "cornell_mirror", "material_demo",
               "lights_and_quadrics"])
+    use_megakernel = jax.default_backend() == "tpu"
     for name in names:
         scene = getattr(scenes, name)()
         packed, static = scene.pack()
-        fn = jax.jit(lambda p: render_image(
-            p, static, args.size, args.size, args.spp,
-            max_bounces=args.bounces))
+        if use_megakernel:
+            from sail_tpu.ops.pallas.megakernel import render_image_fast
+            fn = jax.jit(lambda p: render_image_fast(
+                p, 0, static, args.size, args.size, args.spp, args.bounces))
+        else:
+            fn = jax.jit(lambda p: render_image(
+                p, static, args.size, args.size, args.spp,
+                max_bounces=args.bounces))
         meter = RenderMeter(args.size, args.size, args.bounces)
         img = fn(packed)  # compile
         meter.start()

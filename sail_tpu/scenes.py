@@ -1,5 +1,11 @@
 """Canonical benchmark scenes (the BASELINE.md measurement configs).
 
+Cameras view from -z toward +z, matching the reference demo (ui/ui.js:12-14
+camera [2.78,2.73,-6] -> [2.78,2.73,2.79]): the cornellbox's far z=max wall
+is white; its z=min side (behind the camera) is the open/black one
+(ref: shape/cornellbox.glsl getCornellboxColor falls through to BLACK for
+z=min, and intersectCornellbox always takes tFar).
+
 Scene 1/2 mirror the reference demo's default Cornell box
 (ref: /root/reference/ui/ui.js:9-42); scene 3 the material demo
 (img/ex_meterial.png); scene 4 exercises cone/quadric geometry and
@@ -15,7 +21,7 @@ from . import (AreaLight, Camera, Checkerboard2, Cone, Cornellbox, Cylinder,
 def cornell_matte(light_emission=(5.0, 5.0, 5.0)) -> Scene:
     """Config 1: Cornell box + single matte sphere + ceiling area light."""
     scene = Scene()
-    scene.add(Camera((0.0, 0.0, 2.5), (0.0, 0.0, 0.0)))
+    scene.add(Camera((0.0, 0.0, -2.5), (0.0, 0.0, 0.0)))
     scene.add(Cornellbox((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)))
     scene.add(Sphere((0.0, -0.6, 0.0), 0.4, Matte(kd=1.0)))
     scene.add(AreaLight(
@@ -27,7 +33,7 @@ def cornell_matte(light_emission=(5.0, 5.0, 5.0)) -> Scene:
 def cornell_mirror(light_emission=(5.0, 5.0, 5.0)) -> Scene:
     """Config 2: Cornell box + mirror sphere + matte sphere."""
     scene = Scene()
-    scene.add(Camera((0.0, 0.0, 2.5), (0.0, 0.0, 0.0)))
+    scene.add(Camera((0.0, 0.0, -2.5), (0.0, 0.0, 0.0)))
     scene.add(Cornellbox((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)))
     scene.add(Sphere((-0.45, -0.6, -0.2), 0.4, Mirror(kr=1.0)))
     scene.add(Sphere((0.45, -0.6, 0.2), 0.4, Matte(kd=1.0)))
@@ -40,7 +46,7 @@ def cornell_mirror(light_emission=(5.0, 5.0, 5.0)) -> Scene:
 def material_demo() -> Scene:
     """Config 3: metal/mirror/glass/matte spheres over a checkerboard."""
     scene = Scene()
-    scene.add(Camera((0.0, 0.3, 2.8), (0.0, 0.0, 0.0)))
+    scene.add(Camera((0.0, 0.3, -2.8), (0.0, 0.0, 0.0)))
     scene.add(Cornellbox((-1.5, -1.0, -1.5), (1.5, 1.5, 1.5)))
     floor_tex = Checkerboard2((1.0, 1.0, 1.0), (0.2, 0.2, 0.2), 0.25)
     scene.add(Rectangle((-1.5, -0.99, -1.5), (1.5, -0.99, 1.5),
@@ -58,7 +64,7 @@ def material_demo() -> Scene:
 def lights_and_quadrics() -> Scene:
     """Config 4: area+spot+point lights, cone/cylinder/disk/paraboloid."""
     scene = Scene()
-    scene.add(Camera((0.0, 0.6, 3.0), (0.0, 0.0, 0.0)))
+    scene.add(Camera((0.0, 0.6, -3.0), (0.0, 0.0, 0.0)))
     scene.add(Cornellbox((-1.5, -1.0, -1.5), (1.5, 1.8, 1.5)))
     scene.add(Cone((-0.8, -1.0, -0.3), 0.9, 0.35, Matte(kd=0.9)))
     scene.add(Cylinder((0.0, -1.0, -0.5), 0.7, 0.25, Metal(roughness=0.05)))
