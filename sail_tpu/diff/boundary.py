@@ -26,8 +26,13 @@ w = c âˆ’ o, d = |w|, the circle has center c âˆ’ (rÂ²/d)Â·Åµ, radius rÂ·âˆš(1âˆ
 in the plane âŠ¥ Åµ â€” so edges are *sampled*, never searched for.
 
 Scope (documented limitation, see ARCHITECTURE.md): primary-visibility
-silhouettes of spheres only.  Shadow-edge and indirect boundary terms, and
-other primitives' silhouettes, still carry interior-only gradients.
+edges of spheres (analytic tangent circle) and of box-like primitives â€”
+Cube, Rectangle, Cornellbox (their 12 straight edges; ref geometry list
+/root/reference/src/scene/geometry.js:129-607).  The Î”f straddle estimator
+makes an explicit silhouette classification unnecessary: a hidden or
+radiance-continuous edge measures Î”f â‰ˆ 0 and contributes nothing.
+Cone/cylinder/disk/quadric silhouettes and indirect (deeper-bounce)
+boundary terms still carry interior-only gradients.
 """
 from __future__ import annotations
 
@@ -104,6 +109,101 @@ def _edge_radiance_delta(packed, static, cols, rows, normals, height, width,
     return Vec3(f.x[0] - f.x[1], f.y[0] - f.y[1], f.z[0] - f.z[1])
 
 
+def _box_edge_endpoints(bmin: Vec3, bmax: Vec3):
+    """Endpoints (A, B) of the 12 edges of an axis-aligned box, as Vec3s of
+    (12,) arrays, differentiable w.r.t. bmin/bmax."""
+    lo = (bmin.x, bmin.y, bmin.z)
+    hi = (bmax.x, bmax.y, bmax.z)
+    a_comp = [[], [], []]
+    b_comp = [[], [], []]
+    for axis in range(3):
+        o1, o2 = [(1, 2), (0, 2), (0, 1)][axis]
+        for s1 in (lo, hi):
+            for s2 in (lo, hi):
+                for c in range(3):
+                    if c == axis:
+                        a_comp[c].append(lo[c])
+                        b_comp[c].append(hi[c])
+                    elif c == o1:
+                        a_comp[c].append(s1[c])
+                        b_comp[c].append(s1[c])
+                    else:
+                        a_comp[c].append(s2[c])
+                        b_comp[c].append(s2[c])
+    A = Vec3(*(jnp.stack(a_comp[c]) for c in range(3)))
+    B = Vec3(*(jnp.stack(b_comp[c]) for c in range(3)))
+    return A, B
+
+
+def _box_edge_scalar(pk, packed_detached, static, obj_idx: int,
+                     d_loss_d_image: Vec3, height: int, width: int,
+                     seed: int, n_noise: int, delta_px: float,
+                     max_bounces: int, k_per_edge: int, scale: float):
+    """Differentiable edge-scalar contribution of one box-like object's 12
+    straight edges (Cube / Rectangle / Cornellbox).
+
+    Each edge is sampled at k_per_edge midpoints; the screen tangent, arc
+    length and Î”f coefficients are detached; only the projected midpoint
+    positions (functions of bmin/bmax) stay live.  A straight 3D segment
+    projects to a straight screen segment, so per-interval finite differences
+    of the projected interval BOUNDARIES give the exact tangent/arc length.
+
+    `scale`: 0.5 for degenerate (planar) boxes â€” a Rectangle packs as a BoxP
+    with one zero-thickness axis, so each physical boundary edge appears as a
+    coincident pair in the 12-edge enumeration (and the 4 edges along the
+    degenerate axis have zero projected length, contributing nothing).
+
+    Sign convention: with Î”f = f(x âˆ’ Î´n) âˆ’ f(x + Î´n) for ANY unit screen
+    normal n, the swept-area argument gives dL/dÎ¸ += WÂ·Î”fÂ·(nÂ·dx/dÎ¸)Â·dl â€”
+    flipping n flips both factors, so no interior-reference orientation step
+    is needed (unlike the sphere path, which keeps one for its extrapolation
+    bookkeeping)."""
+    sp = pk.objects[obj_idx]
+    A, B = _box_edge_endpoints(sp.bmin, sp.bmax)           # (12,)
+    k = k_per_edge
+    tm = ((jnp.arange(k, dtype=jnp.float32) + 0.5) / k)[None, :]
+    tb = (jnp.arange(k + 1, dtype=jnp.float32) / k)[None, :]
+    AB = B - A
+    # live midpoints (12, k) and detached interval boundaries (12, k+1)
+    mid = Vec3(A.x[:, None] + AB.x[:, None] * tm,
+               A.y[:, None] + AB.y[:, None] * tm,
+               A.z[:, None] + AB.z[:, None] * tm)
+    col, row, depth = screen_project(pk.camera, mid, height, width)
+
+    sg = jax.lax.stop_gradient
+    bnd = Vec3(*(sg(a)[:, None] + sg(ab)[:, None] * tb
+                 for a, ab in zip(A, AB)))
+    colb, rowb, depthb = screen_project(packed_detached.camera, bnd,
+                                        height, width)
+    tx = colb[:, 1:] - colb[:, :-1]
+    ty = rowb[:, 1:] - rowb[:, :-1]
+    dl = jnp.sqrt(tx * tx + ty * ty)
+    nlen = jnp.maximum(dl, 1e-12)
+    nx, ny = ty / nlen, -tx / nlen
+
+    col_d, row_d = sg(col), sg(row)
+    in_front = (sg(depth) > 0.0) & (depthb[:, 1:] > 0.0) & (depthb[:, :-1] > 0.0)
+    flat = lambda a: a.reshape(-1)
+    df = _edge_radiance_delta(packed_detached, static, flat(col_d),
+                              flat(row_d), (flat(nx), flat(ny)), height,
+                              width, seed, n_noise, delta_px, max_bounces)
+    df = Vec3(df.x.reshape(col_d.shape), df.y.reshape(col_d.shape),
+              df.z.reshape(col_d.shape))
+
+    pi = jnp.clip(row_d.astype(jnp.int32), 0, height - 1)
+    pj = jnp.clip(col_d.astype(jnp.int32), 0, width - 1)
+    inside_img = ((row_d >= 0) & (row_d < height) &
+                  (col_d >= 0) & (col_d < width) & in_front)
+    w_df = (d_loss_d_image.x[pi, pj] * df.x +
+            d_loss_d_image.y[pi, pj] * df.y +
+            d_loss_d_image.z[pi, pj] * df.z)
+    coeff = jnp.where(inside_img, w_df * dl * scale, 0.0)
+    return jnp.sum(coeff * (nx * col + ny * row))
+
+
+_BOX_CATEGORIES = (C.CUBE, C.RECTANGLE, C.CORNELLBOX)
+
+
 def boundary_term(packed, static, d_loss_d_image, height: int, width: int,
                   n_edge_samples: int = 256, n_noise: int = 4,
                   delta_px: float = 0.35, seed: int = 0,
@@ -122,13 +222,25 @@ def boundary_term(packed, static, d_loss_d_image, height: int, width: int,
 
     sphere_ids = [i for i, cat in enumerate(static.object_categories)
                   if cat == C.SPHERE]
-    if not sphere_ids:
+    box_ids = [i for i, cat in enumerate(static.object_categories)
+               if cat in _BOX_CATEGORIES]
+    if not sphere_ids and not box_ids:
         return jax.tree.map(jnp.zeros_like, packed)
 
     ts = (jnp.arange(n_edge_samples, dtype=jnp.float32) + 0.5) / n_edge_samples
+    # straight box edges need no sqrt-delta extrapolation (the straddle ray
+    # lands O(Î´) from the edge, not O(âˆšÎ´)), so one Î”f batch per box suffices
+    k_per_edge = max(4, n_edge_samples // 24)
 
     def edge_scalar(pk):
         total = jnp.float32(0.0)
+        pk_detached = jax.tree.map(jax.lax.stop_gradient, pk)
+        for i in box_ids:
+            scale = (0.5 if static.object_categories[i] == C.RECTANGLE
+                     else 1.0)
+            total = total + _box_edge_scalar(
+                pk, pk_detached, static, i, d_loss_d_image, height, width,
+                seed, n_noise, delta_px, max_bounces, k_per_edge, scale)
         for i in sphere_ids:
             sp = pk.objects[i]
             s = sphere_silhouette(pk.camera, sp.center, sp.radius, ts)
@@ -156,7 +268,7 @@ def boundary_term(packed, static, d_loss_d_image, height: int, width: int,
             nx, ny = nx * flip, ny * flip
 
             in_front = (jax.lax.stop_gradient(depth) > 0.0)
-            packed_detached = jax.tree.map(jax.lax.stop_gradient, pk)
+            packed_detached = pk_detached
             df = _edge_radiance_delta(packed_detached, static, col_d, row_d,
                                       (nx, ny), height, width, seed, n_noise,
                                       delta_px, max_bounces)
@@ -350,12 +462,33 @@ def shadow_boundary_term(packed, static, d_loss_d_image, height: int,
     return jax.grad(edge_scalar)(packed)
 
 
+def full_boundary_term(packed, static, d_loss_d_image, height: int,
+                       width: int, n_edge_samples: int = 256,
+                       n_noise: int = 4, seed: int = 0,
+                       max_bounces: int = C.MAX_BOUNCES,
+                       n_curve_samples: int = 32,
+                       shadow: bool = True):
+    """Silhouette + (optionally) NEE-penumbra boundary terms for an arbitrary
+    per-pixel loss adjoint â€” the complete edge-gradient correction the
+    framework currently models.  Returns a pytree shaped like `packed`."""
+    bnd = boundary_term(packed, static, d_loss_d_image, height, width,
+                        n_edge_samples=n_edge_samples, n_noise=n_noise,
+                        seed=seed, max_bounces=max_bounces)
+    if shadow:
+        shd = shadow_boundary_term(packed, static, d_loss_d_image, height,
+                                   width, n_curve_samples=n_curve_samples,
+                                   seed=seed)
+        bnd = jax.tree.map(lambda a, b: a + b, bnd, shd)
+    return bnd
+
+
 def grad_with_boundary(loss_fn, packed, static, render_kwargs: dict,
                        target: Vec3, n_edge_samples: int = 256,
-                       n_noise: int = 4, seed: int = 0):
+                       n_noise: int = 4, seed: int = 0,
+                       shadow: bool = True):
     """Convenience: interior AD gradient of `loss_fn(packed)` plus the
-    silhouette boundary term for the canonical mean-squared-error loss
-    L = mean((img âˆ’ target)Â²) over pixels and channels.
+    silhouette and NEE-penumbra boundary terms for the canonical
+    mean-squared-error loss L = mean((img âˆ’ target)Â²) over pixels/channels.
 
     `loss_fn(packed) -> (loss, img)` must return the rendered image as aux
     (Vec3 of (H, W)) so the loss adjoint can be formed without re-rendering.
@@ -371,7 +504,8 @@ def grad_with_boundary(loss_fn, packed, static, render_kwargs: dict,
     dL = Vec3((img.x - target.x) * (2.0 / n),
               (img.y - target.y) * (2.0 / n),
               (img.z - target.z) * (2.0 / n))
-    bnd = boundary_term(packed, static, dL, height, width,
-                        n_edge_samples=n_edge_samples, n_noise=n_noise,
-                        seed=seed, max_bounces=max_bounces)
+    bnd = full_boundary_term(packed, static, dL, height, width,
+                             n_edge_samples=n_edge_samples, n_noise=n_noise,
+                             seed=seed, max_bounces=max_bounces,
+                             shadow=shadow)
     return jax.tree.map(lambda a, b: a + b, interior, bnd), img

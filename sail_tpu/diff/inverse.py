@@ -37,11 +37,15 @@ def optimize(packed, target: Vec3, static, mesh, height: int, width: int,
              spp: int, steps: int = 100, learning_rate: float = 5e-2,
              optimizer=None, trainable: Optional[Callable[[str], bool]] = None,
              seed: int = 0, max_bounces: int = 5,
-             callback: Optional[Callable] = None) -> OptimizeResult:
+             callback: Optional[Callable] = None,
+             boundary: bool = True) -> OptimizeResult:
     """Gradient-descent recovery of scene parameters from a target image.
 
     `trainable`: predicate over pytree key paths selecting which parameters
     to optimize (default: material + light parameters).
+
+    `boundary`: include the silhouette/penumbra edge-gradient terms (needed
+    for unbiased geometry and camera gradients; see make_train_step).
     """
     if optimizer is None:
         optimizer = optax.adam(learning_rate)
@@ -49,7 +53,8 @@ def optimize(packed, target: Vec3, static, mesh, height: int, width: int,
         trainable = lambda k: ".materials" in k or ".lights" in k
     mask = trainable_mask(packed, trainable)
     step = make_train_step(static, mesh, height, width, spp, optimizer,
-                           seed=seed, max_bounces=max_bounces, trainable=mask)
+                           seed=seed, max_bounces=max_bounces, trainable=mask,
+                           boundary=boundary)
     state = optimizer.init(packed)
     result = OptimizeResult(params=packed)
     for i in range(steps):

@@ -197,6 +197,33 @@ def matte_f(kd, sigma, sc: Vec3, wo: Vec3, wi: Vec3) -> Vec3:
     return vm.where(sigma < _EPS, lam, on)
 
 
+def lambertian_t_f(t: Vec3, wo: Vec3, wi: Vec3) -> Vec3:
+    """Lambertian transmission BTDF value: T/π for directions in opposite
+    hemispheres, else 0 (ref: material/bsdf.glsl:21-38 LambertianT — present
+    in the reference's library but unreachable from its four material
+    dispatchers; implemented for library parity)."""
+    opposite = ~vm.same_hemisphere(wo, wi)
+    val = t * C.INV_PI
+    return vm.where(opposite, val, _black(wo.shape))
+
+
+def lambertian_t_pdf(wo: Vec3, wi: Vec3):
+    """Cosine pdf on the transmission hemisphere (bsdf.glsl:27-30)."""
+    opposite = ~vm.same_hemisphere(wo, wi)
+    return jnp.where(opposite, vm.abs_cos_theta(wi) * C.INV_PI, 0.0)
+
+
+def lambertian_t_sample(t: Vec3, u1, u2, wo: Vec3) -> BSDFSample:
+    """Sample cosine-weighted on the hemisphere OPPOSITE wo
+    (bsdf.glsl:32-38): weight = f·|cosθi|/pdf = T."""
+    wi = samplers.cosine_hemisphere(u1, u2)
+    wi = vm.where(wo.z > 0.0, Vec3(wi.x, wi.y, -wi.z), wi)
+    pdf = lambertian_t_pdf(wo, wi)
+    f = lambertian_t_f(t, wo, wi)
+    w = f * jnp.where(pdf > 0.0, vm.abs_cos_theta(wi) / jnp.maximum(pdf, 1e-20), 0.0)
+    return BSDFSample(wi, w, f, jnp.zeros(wo.shape, jnp.int32))
+
+
 def matte_sample(kd, sigma, sc: Vec3, u1, u2, wo: Vec3) -> BSDFSample:
     wi = samplers.cosine_hemisphere(u1, u2)
     # Sampled below the horizon ⇒ pdf 0 ⇒ zero weight (mask, not NaN).
@@ -250,13 +277,17 @@ def microfacet_r_sample(r: Vec3, u1, u2, wo: Vec3, alphax, alphay, kind: int,
     return BSDFSample(wi, w, vm.where(ok, f, _black(shape)), jnp.zeros(shape, jnp.int32))
 
 
-def metal_sample(p, sc: Vec3, u1, u2, wo: Vec3) -> BSDFSample:
-    """p: MetalP. Trowbridge-Reitz + conductor Fresnel (metal.glsl:9-24)."""
+def metal_sample(p, sc: Vec3, u1, u2, wo: Vec3,
+                 kind: int = C.TROWBRIDGE_REITZ) -> BSDFSample:
+    """p: MetalP. Microfacet conductor (metal.glsl:9-24).  `kind` selects the
+    compiled distribution — the reference hardcodes Trowbridge-Reitz; its
+    Beckmann library code (microfacet.glsl:1-44) is reachable here via
+    Metal(distribution="beckmann")."""
     ones = Vec3(jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0))
     fres = lambda ci: fr_conductor(ci, ones, p.eta, p.k)
     ax = jnp.maximum(p.uroughness, 1e-4)
     ay = jnp.maximum(p.vroughness, 1e-4)
-    return microfacet_r_sample(sc, u1, u2, wo, ax, ay, C.TROWBRIDGE_REITZ, fres)
+    return microfacet_r_sample(sc, u1, u2, wo, ax, ay, kind, fres)
 
 
 # --------------------------------------------------------------------------
@@ -320,11 +351,11 @@ def microfacet_t_pdf(wo: Vec3, wi: Vec3, eta, into, alphax, alphay, kind: int):
     return jnp.where(bad, 0.0, pdf)
 
 
-def _rough_glass_sample(p, sc: Vec3, u1, u2, u_lobe, wo: Vec3, into) -> BSDFSample:
+def _rough_glass_sample(p, sc: Vec3, u1, u2, u_lobe, wo: Vec3, into,
+                        kind: int = C.TROWBRIDGE_REITZ) -> BSDFSample:
     shape = wo.shape
     ax = jnp.maximum(p.uroughness, 1e-4)
     ay = jnp.maximum(p.vroughness, 1e-4)
-    kind = C.TROWBRIDGE_REITZ
 
     # 50/50 lobe choice (glass.glsl:24-33); each branch weight doubled.
     fres = lambda ci: Vec3(*(3 * (fr_dielectric(ci, 1.0, p.eta),)))
@@ -344,13 +375,14 @@ def _rough_glass_sample(p, sc: Vec3, u1, u2, u_lobe, wo: Vec3, into) -> BSDFSamp
     return BSDFSample(wi, w, _black(shape), jnp.zeros(shape, jnp.int32))
 
 
-def glass_sample(p, sc: Vec3, u1, u2, u_lobe, wo: Vec3, into) -> BSDFSample:
+def glass_sample(p, sc: Vec3, u1, u2, u_lobe, wo: Vec3, into,
+                 kind: int = C.TROWBRIDGE_REITZ) -> BSDFSample:
     """p: GlassP.  Static specialization: smooth vs rough is decided from the
     packed roughness *values* dynamically (mask), since both variants share
     most math the extra cost is small; scenes with only smooth glass still
     fold the rough branch away when roughness is structurally zero."""
     spec = _specular_glass_sample(p.kr, p.kt, p.eta, sc, u_lobe, wo, into)
-    rough = _rough_glass_sample(p, sc, u1, u2, u_lobe, wo, into)
+    rough = _rough_glass_sample(p, sc, u1, u2, u_lobe, wo, into, kind)
     is_spec = (p.uroughness < _EPS) & (p.vroughness < _EPS)
     return BSDFSample(
         vm.where(is_spec, spec.wi, rough.wi),

@@ -158,14 +158,12 @@ def windowed(img: Vec3, name: str, r=(2.0, 2.0), **params) -> Vec3:
     table = window_table(name, r, **params)
     acc = [jnp.zeros_like(img.x)] * 3
     wsum = jnp.zeros_like(img.x)
-    seen = {}
     for (px, py, w) in table:
         if w == 0.0:
             continue
         dx = int(round(px))
         dy = int(round(py))
         for sx, sy in ((dx, dy), (dx, -dy), (-dx, dy), (-dx, -dy)):
-            kkey = (sx, sy)
             # reference samples all 4 taps even when offsets coincide;
             # replicate by accumulating weight per tap occurrence
             cx, valid = _shifted(img.x, sy, sx)

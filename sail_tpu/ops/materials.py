@@ -36,6 +36,7 @@ def sample_material(materials: tuple, static, mat_row, sc: Vec3,
                          jnp.zeros(shape, jnp.int32))
     for row, (cat, p) in enumerate(zip(static.material_categories, materials)):
         mask = mat_row == row
+        kind = static.material_variants[row] or C.TROWBRIDGE_REITZ
         if cat == C.MATTE:
             s = bsdf.matte_sample(p.kd, p.sigma, sc, u1, u2, wo)
             is_matte = jnp.ones(shape, jnp.int32)
@@ -43,10 +44,10 @@ def sample_material(materials: tuple, static, mat_row, sc: Vec3,
             s = bsdf.mirror_sample(p.kr, sc, wo)
             is_matte = jnp.zeros(shape, jnp.int32)
         elif cat == C.METAL:
-            s = bsdf.metal_sample(p, sc, u1, u2, wo)
+            s = bsdf.metal_sample(p, sc, u1, u2, wo, kind=kind)
             is_matte = jnp.zeros(shape, jnp.int32)
         elif cat == C.GLASS:
-            s = bsdf.glass_sample(p, sc, u1, u2, u_lobe, wo, into)
+            s = bsdf.glass_sample(p, sc, u1, u2, u_lobe, wo, into, kind=kind)
             is_matte = jnp.zeros(shape, jnp.int32)
         else:  # pragma: no cover
             raise ValueError(f"unknown material category {cat}")

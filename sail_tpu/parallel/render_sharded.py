@@ -91,19 +91,21 @@ def render_sharded(packed, static, mesh: Mesh, height: int, width: int,
     return acc * (1.0 / spp)
 
 
-def sharded_loss(packed, target: Vec3, static, mesh: Mesh, height: int,
-                 width: int, spp: int, seed: int = 0,
-                 max_bounces: int = C.MAX_BOUNCES):
+def sharded_loss_and_image(packed, target: Vec3, static, mesh: Mesh,
+                           height: int, width: int, spp: int, seed: int = 0,
+                           max_bounces: int = C.MAX_BOUNCES):
     """Mean-squared image loss against a (sharded or replicated) target,
     computed without ever gathering the image: each device reduces its tile,
-    then one psum. Differentiable w.r.t. `packed`."""
+    then one psum. Differentiable w.r.t. `packed`.  Returns (loss, image)
+    with the image as aux (tile-sharded Vec3) so callers can form the loss
+    adjoint for boundary-gradient terms without re-rendering."""
     tile_n = mesh.shape["tile"]
     spp_n = mesh.shape["spp"]
     rows = height // tile_n
     spp_local = spp // spp_n
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), P("tile", None)),
-             out_specs=P(), check_vma=not _use_pallas())
+             out_specs=(P(), P("tile", None)), check_vma=not _use_pallas())
     def run(packed, target):
         ti = jax.lax.axis_index("tile")
         si = jax.lax.axis_index("spp")
@@ -114,14 +116,27 @@ def sharded_loss(packed, target: Vec3, static, mesh: Mesh, height: int,
         se = ((img.x - target.x) ** 2 + (img.y - target.y) ** 2 +
               (img.z - target.z) ** 2)
         local = jnp.sum(se)
-        return jax.lax.psum(local, "tile") / (height * width * 3)
+        loss = jax.lax.psum(local, "tile") / (height * width * 3)
+        return loss, img
 
-    return run(packed, target)
+    loss, img = run(packed, target)
+    return loss, img
+
+
+def sharded_loss(packed, target: Vec3, static, mesh: Mesh, height: int,
+                 width: int, spp: int, seed: int = 0,
+                 max_bounces: int = C.MAX_BOUNCES):
+    """Scalar-only variant of `sharded_loss_and_image`."""
+    loss, _ = sharded_loss_and_image(packed, target, static, mesh, height,
+                                     width, spp, seed, max_bounces)
+    return loss
 
 
 def make_train_step(static, mesh: Mesh, height: int, width: int, spp: int,
                     optimizer, seed: int = 0,
-                    max_bounces: int = C.MAX_BOUNCES, trainable=None):
+                    max_bounces: int = C.MAX_BOUNCES, trainable=None,
+                    boundary: bool = True, n_edge_samples: int = 192,
+                    n_noise: int = 2, n_curve_samples: int = 32):
     """Build a jitted sharded inverse-rendering step: grad of the image loss
     w.r.t. every scene float parameter (psum-reduced over the mesh by
     shard_map's transpose), then an optimizer update.  This is the
@@ -129,15 +144,37 @@ def make_train_step(static, mesh: Mesh, height: int, width: int, spp: int,
 
     `trainable`: optional pytree of 0/1 floats matching the PackedScene
     structure; gradients of masked-out leaves are zeroed before the update
-    (recover materials while freezing camera/geometry, etc.)."""
+    (recover materials while freezing camera/geometry, etc.).
+
+    `boundary` (default ON): add the silhouette + NEE-penumbra edge terms
+    (diff/boundary.py) to the interior AD gradient — without them, geometry
+    gradients (sphere centers/radii, box corners) are silently biased: naive
+    AD never sees the visibility discontinuities the loss actually crosses.
+    The edge term renders a few hundred extra rays per step (unsharded;
+    negligible next to the image render).  Turn off only when geometry and
+    camera are frozen (e.g. BSDF-only recovery)."""
+    import optax
+
+    from ..diff.boundary import full_boundary_term
 
     def step(packed, opt_state, target):
-        loss, grads = jax.value_and_grad(sharded_loss)(
+        (loss, img), grads = jax.value_and_grad(
+            sharded_loss_and_image, has_aux=True)(
             packed, target, static, mesh, height, width, spp, seed,
             max_bounces)
+        if boundary:
+            n = height * width * 3
+            dL = Vec3((img.x - target.x) * (2.0 / n),
+                      (img.y - target.y) * (2.0 / n),
+                      (img.z - target.z) * (2.0 / n))
+            bnd = full_boundary_term(packed, static, dL, height, width,
+                                     n_edge_samples=n_edge_samples,
+                                     n_noise=n_noise, seed=seed,
+                                     max_bounces=max_bounces,
+                                     n_curve_samples=n_curve_samples)
+            grads = jax.tree.map(lambda a, b: a + b, grads, bnd)
         if trainable is not None:
             grads = jax.tree.map(lambda g, m: g * m, grads, trainable)
-        import optax
         updates, opt_state = optimizer.update(grads, opt_state, packed)
         packed = optax.apply_updates(packed, updates)
         return packed, opt_state, loss

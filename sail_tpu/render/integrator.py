@@ -181,6 +181,35 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
     return TraceResult(state.e, state.g_normal, state.g_position)
 
 
+def alive_fractions(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
+                    max_bounces: int = C.MAX_BOUNCES,
+                    weak_threshold: float = 1e-2):
+    """Per-bounce occupancy diagnostics for the ray-compaction study
+    (docs/OCCUPANCY.md): returns (alive_frac, weak_frac) arrays of shape
+    (max_bounces,) where alive_frac[b] is the fraction of lanes still alive
+    AFTER bounce b (the lanes bounce b+1 would do useful work for) and
+    weak_frac[b] the fraction of lanes whose remaining throughput
+    max-component is below `weak_threshold` (what Russian roulette would
+    additionally reclaim)."""
+    shape = jnp.broadcast_shapes(ro.shape, rd.shape)
+    ro = ro.broadcast_to(shape)
+    rd = rd.broadcast_to(shape)
+    zero = jnp.zeros(shape, jnp.float32)
+    black = Vec3(zero, zero, zero)
+    ones = Vec3(zero + 1.0, zero + 1.0, zero + 1.0)
+    state = _PathState(ro, rd, black, ones, jnp.ones(shape, bool),
+                       jnp.zeros(shape, bool), black, black)
+    alive, weak = [], []
+    for bounce in range(max_bounces):
+        state = _bounce_step(scene, state, noise, static=static,
+                             bounce=bounce, clamp_weight=True)
+        alive.append(state.alive.astype(jnp.float32).mean())
+        tp = state.throughput.max_component()
+        weak.append((state.alive & (tp < weak_threshold))
+                    .astype(jnp.float32).mean())
+    return jnp.stack(alive), jnp.stack(weak)
+
+
 def render_sample(scene, static, height: int, width: int, seed, sample_idx,
                   max_bounces: int = C.MAX_BOUNCES,
                   jitter: bool = True, row0=None,

@@ -14,18 +14,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from ..core.camera import generate_rays
-from ..core.vecmath import Vec3, vec3
+from ..core.vecmath import Vec3
 from ..ops import intersect as isect
 from ..scene.scene import Scene
 
 
 def _pixel_ray(scene: Scene, x: float, y: float, width: int, height: int):
+    """Single world ray through pixel center (x, y) — the picking analog of
+    Ray.generate (ref: pickup.js:9-12), built from the camera basis
+    directly instead of an inverse MVP."""
     packed, _ = scene.pack()
-    jx = jnp.full((1, 1), (x % 1.0) if x % 1.0 else 0.5, jnp.float32)
-    jy = jnp.full((1, 1), (y % 1.0) if y % 1.0 else 0.5, jnp.float32)
-    ro, rd = generate_rays(packed.camera, 1, 1, None, None)
-    # Recompute for the exact pixel: use a 1×1 "image" centred on (x, y).
     ndc_x = (x + 0.5) * (2.0 / width) - 1.0
     ndc_y = 1.0 - (y + 0.5) * (2.0 / height)
     cam = packed.camera

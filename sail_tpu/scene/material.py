@@ -52,8 +52,13 @@ def roughness_to_alpha(roughness: float) -> float:
             0.0171201 * x ** 3 + 0.000640711 * x ** 4)
 
 
+_DISTRIBUTIONS = {"ggx": C.TROWBRIDGE_REITZ, "trowbridge-reitz": C.TROWBRIDGE_REITZ,
+                  "beckmann": C.BECKMANN}
+
+
 class Material:
     category: int = 0
+    variant: int = 0    # static sub-type (microfacet distribution kind)
 
     def pack(self):  # pragma: no cover - overridden
         raise NotImplementedError
@@ -94,11 +99,16 @@ class Metal(Material):
     category = C.METAL
 
     def __init__(self, roughness: float = 0.01, uroughness: float = 0.0,
-                 vroughness: float = 0.0, eta=None, k=None):
+                 vroughness: float = 0.0, eta=None, k=None,
+                 distribution: str = "ggx"):
         self.uroughness = float(uroughness) if uroughness != 0 else float(roughness)
         self.vroughness = float(vroughness) if vroughness != 0 else float(roughness)
         self.eta = tuple(float(v) for v in (eta if eta is not None else _DEFAULT_ETA))
         self.k = tuple(float(v) for v in (k if k is not None else _DEFAULT_K))
+        # The reference hardcodes Trowbridge-Reitz (metal.glsl:16); Beckmann
+        # exists in its library (microfacet.glsl:1-44) but is unreachable —
+        # here it is selectable, compiled in via static scene structure.
+        self.variant = _DISTRIBUTIONS[distribution.lower()]
 
     def pack(self) -> MetalP:
         return MetalP(jnp.float32(self.uroughness), jnp.float32(self.vroughness),
@@ -109,12 +119,14 @@ class Glass(Material):
     category = C.GLASS
 
     def __init__(self, kr: float = 1.0, kt: float = 1.0, eta: float = 1.5,
-                 uroughness: float = 0.0, vroughness: float = 0.0):
+                 uroughness: float = 0.0, vroughness: float = 0.0,
+                 distribution: str = "ggx"):
         self.kr = float(kr)
         self.kt = float(kt)
         self.eta = float(eta)
         self.uroughness = float(uroughness)
         self.vroughness = float(vroughness)
+        self.variant = _DISTRIBUTIONS[distribution.lower()]
 
     def pack(self) -> GlassP:
         return GlassP(jnp.float32(self.kr), jnp.float32(self.kt),

@@ -42,6 +42,8 @@ class SceneStatic(NamedTuple):
     object_tex_rows: tuple          # texture row index per object
     object_emissive: tuple          # bool per object
     material_categories: tuple      # category per material row
+    material_variants: tuple        # static sub-type per material row
+                                    # (microfacet distribution kind, else 0)
     texture_categories: tuple       # category per texture row
     light_categories: tuple         # category per light
     area_light_objects: tuple       # object index per light (-1 if not area)
@@ -126,7 +128,7 @@ class Scene:
         if self.camera is None:
             raise ValueError("scene has no camera")
 
-        mat_rows, mat_cats, mat_ids = [], [], {}
+        mat_rows, mat_cats, mat_vars, mat_ids = [], [], [], {}
         tex_rows, tex_cats, tex_ids = [], [], {}
         obj_params, obj_cats, obj_mat, obj_tex, obj_emissive = [], [], [], [], []
 
@@ -136,6 +138,7 @@ class Scene:
                 mat_ids[mid] = len(mat_rows)
                 mat_rows.append(obj.material.pack())
                 mat_cats.append(obj.material.category)
+                mat_vars.append(obj.material.variant)
             tid = id(obj.texture)
             if tid not in tex_ids:
                 tex_ids[tid] = len(tex_rows)
@@ -166,6 +169,7 @@ class Scene:
             object_tex_rows=tuple(obj_tex),
             object_emissive=tuple(obj_emissive),
             material_categories=tuple(mat_cats),
+            material_variants=tuple(mat_vars),
             texture_categories=tuple(tex_cats),
             light_categories=tuple(light_cats),
             area_light_objects=tuple(area_objs),

@@ -72,17 +72,86 @@ def test_grad_light_emission():
     fd_check(locate)
 
 
+# --------------------------------------------------------------------------
+# Geometry gradients: interior AD + boundary (silhouette + penumbra) terms
+# vs seed-averaged finite differences of the true (jittered) pixel integral.
+#
+# Interior-only AD is structurally wrong for geometry parameters — the
+# visibility discontinuities (camera silhouette, NEE shadow edge) that FD
+# crosses carry most of the gradient.  The edge terms (diff/boundary.py)
+# supply them; FD of a Monte-Carlo render must be seed-averaged with common
+# random numbers or it measures noise (CLAUDE.md).
+# --------------------------------------------------------------------------
+
+GEOM_H = GEOM_W = 16
+GEOM_SPP = 48
+GEOM_SEEDS = (3, 13, 23, 33)
+
+
+def _geom_loss(pk, static, seed):
+    """Box-filtered pixel-integral estimate: mean over jittered samples.
+    vmap (not fori_loop) over samples keeps the CPU reverse-mode compile
+    sane (no transpose-of-scan)."""
+    from sail_tpu.render.integrator import render_sample
+
+    def one(i):
+        return render_sample(pk, static, GEOM_H, GEOM_W, seed, i,
+                             max_bounces=1).color
+    c = jax.vmap(one)(jnp.arange(GEOM_SPP))
+    return (c.x + c.y + c.z).mean()
+
+
+def _geom_fd_check(locate, eps, rel_tol):
+    from sail_tpu.core.vecmath import Vec3
+    from sail_tpu.diff.boundary import full_boundary_term
+
+    scene = scenes.cornell_matte()
+    packed, static = scene.pack()
+    flat, treedef = jax.tree.flatten(packed)
+    idx = locate(packed, flat)
+    v0 = float(flat[idx])
+
+    loss_j = jax.jit(lambda pk, s: _geom_loss(pk, static, s))
+    grad_j = jax.jit(jax.grad(lambda pk, s: _geom_loss(pk, static, s)))
+
+    def at(v, s):
+        f = list(flat)
+        f[idx] = jnp.float32(v)
+        return float(loss_j(jax.tree.unflatten(treedef, f), s))
+
+    fds, ints = [], []
+    for s in GEOM_SEEDS:
+        fds.append((at(v0 + eps, s) - at(v0 - eps, s)) / (2 * eps))
+        ints.append(float(jax.tree.flatten(grad_j(packed, s))[0][idx]))
+    g_fd = float(np.mean(fds))
+    g_int = float(np.mean(ints))
+
+    # loss = mean over pixels of (x+y+z)/ (H*W)  ⇒ ∂L/∂img_c = 1/(H·W)
+    wn = jnp.full((GEOM_H, GEOM_W), 1.0 / (GEOM_H * GEOM_W), jnp.float32)
+    bnd = full_boundary_term(packed, static, Vec3(wn, wn, wn),
+                             GEOM_H, GEOM_W, n_edge_samples=512, n_noise=4,
+                             seed=11, max_bounces=1, n_curve_samples=64)
+    g_bnd = float(jax.tree.flatten(bnd)[0][idx])
+    g_total = g_int + g_bnd
+
+    # the edge term must be load-bearing AND close the FD gap
+    assert abs(g_total - g_fd) < abs(g_int - g_fd), \
+        f"FD {g_fd} interior {g_int} total {g_total}"
+    assert g_total == pytest.approx(g_fd, rel=rel_tol, abs=2.5e-3), \
+        f"FD {g_fd} interior {g_int} boundary {g_bnd} total {g_total}"
+
+
 def test_grad_sphere_radius():
-    def locate(packed, flat, treedef):
+    def locate(packed, flat):
         # sphere is object index 1 in cornell_matte
         return _leaf_index_of(packed, flat, packed.objects[1].radius)
-    fd_check(locate, rel_tol=0.35)
+    _geom_fd_check(locate, eps=0.01, rel_tol=0.30)
 
 
 def test_grad_sphere_center():
-    def locate(packed, flat, treedef):
+    def locate(packed, flat):
         return _leaf_index_of(packed, flat, packed.objects[1].center.y)
-    fd_check(locate, rel_tol=0.35)
+    _geom_fd_check(locate, eps=0.01, rel_tol=0.30)
 
 
 def test_grad_camera_eye_finite():

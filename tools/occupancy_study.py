@@ -1,0 +1,103 @@
+"""Per-bounce ray-occupancy study — the measurement behind the compaction
+decision (docs/OCCUPANCY.md, VERDICT r1 item 2).
+
+The reference's megakernel lets dead lanes idle past the `break`
+(ref: /root/reference/src/shader/trace/path.glsl:22); SURVEY.md §2.5 proposed
+per-bounce device-local compaction as the wavefront upgrade.  Whether that is
+worth anything on TPU depends entirely on how many lanes actually die — this
+script measures it on the benchmark configs.
+
+Usage:  python tools/occupancy_study.py [--size 128] [--spp 4]
+Prints one line per scene with alive%% and weak%% (throughput < 1e-2) per
+bounce, plus the implied upper bound on compaction speedup
+(= total_bounce_work / alive_bounce_work).
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--bounces", type=int, default=5)
+    ap.add_argument("--platform", default="cpu",
+                    help="occupancy is hardware-independent; cpu avoids "
+                         "minutes of TPU compiles")
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from sail_tpu import scenes
+    from sail_tpu.core import rng
+    from sail_tpu.core.camera import rays_for_pixels
+    from sail_tpu.render.integrator import alive_fractions
+
+    def open_material_demo():
+        """material_demo without the enclosing cornellbox: primary/secondary
+        rays can escape — the best case for compaction."""
+        import sail_tpu as sail
+        scene = sail.Scene()
+        scene.add(sail.Camera((0.0, 0.3, -2.8), (0.0, 0.0, 0.0)))
+        floor_tex = sail.Checkerboard2((1.0, 1.0, 1.0), (0.2, 0.2, 0.2), 0.25)
+        scene.add(sail.Rectangle((-1.5, -0.99, -1.5), (1.5, -0.99, 1.5),
+                                 sail.Matte(), floor_tex))
+        scene.add(sail.Sphere((-0.9, -0.65, 0.0), 0.33, sail.Metal(roughness=0.1)))
+        scene.add(sail.Sphere((-0.3, -0.65, 0.0), 0.33, sail.Mirror()))
+        scene.add(sail.Sphere((0.3, -0.65, 0.0), 0.33, sail.Glass(eta=1.5)))
+        scene.add(sail.Sphere((0.9, -0.65, 0.0), 0.33, sail.Matte(kd=0.9, sigma=20.0)))
+        scene.add(sail.AreaLight(
+            sail.Rectangle((-0.5, 1.48, -0.5), (0.5, 1.48, 0.5), sail.Matte()),
+            (6.0, 6.0, 6.0)))
+        return scene
+
+    configs = [
+        ("config2_cornell_mirror", scenes.cornell_mirror()),
+        ("config3_material_demo", scenes.material_demo()),
+        ("config4_lights_quadrics", scenes.lights_and_quadrics()),
+        ("open_material_demo", open_material_demo()),
+    ]
+
+    h = w = args.size
+    for name, scene in configs:
+        packed, static = scene.pack()
+        alive_acc = jnp.zeros((args.bounces,))
+        weak_acc = jnp.zeros((args.bounces,))
+
+        @jax.jit
+        def sample_fracs(packed, s):
+            ii = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w))
+            jj = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
+            noise = rng.pixel_noise(0, s, ii=ii, jj=jj)
+            jx, jy, _ = noise.uniform3(0, rng.TAG_PIXEL_JITTER)
+            ro, rd = rays_for_pixels(packed.camera, ii.astype(jnp.float32),
+                                     jj.astype(jnp.float32), h, w, jx, jy)
+            return alive_fractions(packed, static, ro, rd, noise,
+                                   max_bounces=args.bounces)
+
+        for s in range(args.spp):
+            a, wk = sample_fracs(packed, s)
+            alive_acc = alive_acc + a
+            weak_acc = weak_acc + wk
+        alive = [float(v) / args.spp for v in alive_acc]
+        weak = [float(v) / args.spp for v in weak_acc]
+        # lanes doing useful work at bounce b = alive after bounce b-1
+        # (bounce 0 is always 100% — primary rays)
+        useful = [1.0] + alive[:-1]
+        bound = args.bounces / sum(useful)
+        useful_rr = [1.0] + [max(a - wq, 0.0) for a, wq in
+                             zip(alive[:-1], weak[:-1])]
+        bound_rr = args.bounces / sum(useful_rr)
+        print(f"{name}: alive%={['%.1f' % (100*v) for v in alive]} "
+              f"weak%={['%.1f' % (100*v) for v in weak]} "
+              f"perfect-compaction speedup bound={bound:.3f}x "
+              f"(+RR: {bound_rr:.3f}x)")
+
+
+if __name__ == "__main__":
+    main()
