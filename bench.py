@@ -12,9 +12,13 @@ only derivable figure is the implied 15.7 Mpaths/s upper bound at 512²·60fps
 ·5 bounces ≈ 94 Mrays/s (each path = 5 closest + ~1 shadow ray... using the
 same ray-counting convention: 512²·60·6 ≈ 94 Mrays/s).  vs_baseline reports
 our Mrays/s against that derived bound.
+
+MFU accounting (docs/PERF.md): FLOPs are counted by XLA cost analysis on the
+XLA integrator twin (identical math to the Pallas kernels, whose Mosaic
+custom-calls cost analysis cannot see into) and divided by the documented
+v5e VPU f32 peak (utils/metrics.py).
 """
 import json
-import sys
 import time
 
 import jax
@@ -24,6 +28,7 @@ import jax.numpy as jnp
 def main():
     from sail_tpu import scenes
     from sail_tpu.render.integrator import render_image
+    from sail_tpu.utils import metrics
 
     height = width = 1024
     spp = 64   # large spp per dispatch amortizes the ~30ms relay latency
@@ -34,7 +39,7 @@ def main():
 
     # Both timed functions reduce to a SCALAR inside jit and the timing loop
     # reads it back with float(): through the axon relay,
-    # jax.block_until_ready can return before execution completes, so a
+    # jax.block_until_ready can return BEFORE execution completes, so a
     # host readback is the only reliable completion barrier.
     from sail_tpu.ops.pallas.megakernel import (render_block_pallas,
                                                 render_image_fast)
@@ -45,14 +50,10 @@ def main():
                                   max_bounces=bounces)
         return img.x.sum() + img.y.sum() + img.z.sum()
 
-    fwd = jax.jit(fwd_impl)
-
     def fwd_xla_impl(p, seed):
         img = render_image(p, static, height, width, spp, seed=seed,
                            max_bounces=bounces)
         return img.x.sum() + img.y.sum() + img.z.sum()
-
-    fwd_xla = jax.jit(fwd_xla_impl)
 
     def fwdbwd_impl(p, seed):
         # HEADLINE: Pallas forward + Pallas backward megakernels (gradients
@@ -64,23 +65,34 @@ def main():
         g = jax.grad(loss)(p)
         return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(g))
 
-    fwdbwd = jax.jit(fwdbwd_impl)
-
-    def loss_xla(p, seed):
-        img = render_image(p, static, height, width, spp, seed=seed,
-                           max_bounces=bounces)
-        return jnp.mean(img.x + img.y + img.z)
-
     def fwdbwd_xla_impl(p, seed):
-        g = jax.grad(loss_xla)(p, seed)
+        def loss_xla(p):
+            img = render_image(p, static, height, width, spp, seed=seed,
+                               max_bounces=bounces)
+            return jnp.mean(img.x + img.y + img.z)
+        g = jax.grad(loss_xla)(p)
         return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(g))
 
-    fwdbwd_xla = jax.jit(fwdbwd_xla_impl)
+    # AOT-compile so XLA cost analysis (FLOP counts) rides the same compile
+    # the timing uses.
+    def compile_fn(fn):
+        compiled = jax.jit(fn).lower(packed, 0).compile()
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        return compiled, flops
 
-    float(fwd(packed, 0))         # compile
-    float(fwd_xla(packed, 0))     # compile
-    float(fwdbwd(packed, 0))      # compile
-    float(fwdbwd_xla(packed, 0))  # compile
+    fwd, _ = compile_fn(fwd_impl)                 # Mosaic: opaque to XLA
+    fwd_xla, flops_fwd = compile_fn(fwd_xla_impl)
+    fwdbwd, _ = compile_fn(fwdbwd_impl)
+    fwdbwd_xla, flops_fwdbwd = compile_fn(fwdbwd_xla_impl)
+
+    for f in (fwd, fwd_xla, fwdbwd, fwdbwd_xla):
+        float(f(packed, 0))  # warm the relay path once
 
     def time_it(fn, iters=5):
         times = []
@@ -95,6 +107,30 @@ def main():
     t_fwd_xla = time_it(fwd_xla)
     t_fwdbwd = time_it(fwdbwd)
     t_fwdbwd_xla = time_it(fwdbwd_xla)
+
+    # Open-scene early-exit: the megakernel skips all-dead tile bounces
+    # (docs/OCCUPANCY.md); measure the win where it exists.
+    oh = ow = 512
+    ospp = 32
+    opacked, ostatic = scenes.material_demo_open().pack()
+
+    def open_fwd(early):
+        def impl(p, seed):
+            img = render_block_pallas(p, ostatic, oh, ow, ospp, seed, 0,
+                                      max_bounces=bounces, early_exit=early)
+            return img.x.sum() + img.y.sum() + img.z.sum()
+        c = jax.jit(impl).lower(opacked, 0).compile()
+        float(c(opacked, 0))
+        ts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            float(c(opacked, i))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    t_open_on = open_fwd(True)
+    t_open_off = open_fwd(False)
 
     # ray counting: per pixel-sample, `bounces` closest-hit rays + up to
     # `bounces` NEE shadow rays (matte vertices only; count 1/bounce as the
@@ -118,6 +154,24 @@ def main():
             "fwd_s_per_frame": round(t_fwd, 4),
             "fwdbwd_s": round(t_fwdbwd, 4),
             "fwdbwd_xla_s": round(t_fwdbwd_xla, 4),
+            "fwdbwd_over_fwd": round(t_fwdbwd / t_fwd, 3),
+            "mfu": {
+                # Pallas kernels run the same math as the XLA twin whose
+                # FLOPs XLA counted; peak = documented v5e VPU f32 (FMA=2)
+                "flops_per_ray": round(flops_fwd / rays, 1),
+                "fwd_tflops": round(flops_fwd / t_fwd / 1e12, 3),
+                "fwdbwd_tflops": round(flops_fwdbwd / t_fwdbwd / 1e12, 3),
+                "fwd_vpu_mfu": round(metrics.mfu(flops_fwd, t_fwd), 4),
+                "fwdbwd_vpu_mfu": round(metrics.mfu(flops_fwdbwd,
+                                                    t_fwdbwd), 4),
+                "peak_assumption": "v5e VPU f32 FMA peak 7.7e12 FLOP/s",
+            },
+            "open_scene": {
+                "scene": "material_demo_open 512^2x32spp",
+                "fwd_s_early_exit": round(t_open_on, 4),
+                "fwd_s_no_early_exit": round(t_open_off, 4),
+                "early_exit_speedup": round(t_open_off / t_open_on, 3),
+            },
             "device": str(jax.devices()[0]),
             "resolution": f"{height}x{width}", "spp": spp,
             "bounces": bounces,

@@ -36,7 +36,7 @@ __all__ = [
     "Texture", "UniformColor", "Checkerboard", "Checkerboard2", "Bilerp",
     "Mix", "ScaleT", "Scale", "UV", "Color",
     "Matrix", "Vector",
-    "Renderer", "Control",
+    "Renderer", "Control", "ElasticRenderer",
 ]
 
 __version__ = "0.1.0"
@@ -51,4 +51,7 @@ def __getattr__(name):
     if name == "Control":
         from .render.control import Control
         return Control
+    if name == "ElasticRenderer":
+        from .parallel.elastic import ElasticRenderer
+        return ElasticRenderer
     raise AttributeError(f"module 'sail_tpu' has no attribute {name!r}")

@@ -45,7 +45,7 @@ def _flatten_scene(packed):
 
 
 def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
-                max_bounces):
+                max_bounces, early_exit=True):
     """Accumulate `spp` samples for one tile — shared by the kernel body and
     (for parity testing) the interpreter path."""
     from ...render.integrator import trace_rays
@@ -55,7 +55,11 @@ def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
         jx, jy, _ = noise.uniform3(0, rng.TAG_PIXEL_JITTER)
         ro, rd = rays_for_pixels(pk.camera, ii.astype(jnp.float32),
                                  jj.astype(jnp.float32), height, width, jx, jy)
-        res = trace_rays(pk, static, ro, rd, noise, max_bounces)
+        # early_exit: a row-tile whose lanes are ALL dead skips the rest of
+        # the bounce loop — exact, and worth up to ~2.5x on open scenes
+        # where escaped rays die in coherent sky tiles (docs/OCCUPANCY.md)
+        res = trace_rays(pk, static, ro, rd, noise, max_bounces,
+                         early_exit=early_exit)
         return acc + res.color
 
     zero = jnp.zeros(ii.shape, jnp.float32)
@@ -68,7 +72,7 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
                         seed, sample0, max_bounces: int = C.MAX_BOUNCES,
                         tile_rows: int = 8, interpret=None,
                         row0=0, image_height: int = None,
-                        vma=None) -> Vec3:
+                        vma=None, early_exit: bool = True) -> Vec3:
     """Forward render of an H×W block via the Pallas megakernel.
 
     Returns the SUM of `spp` sample passes (divide by spp for the mean).
@@ -102,7 +106,7 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
         jj = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
         acc = _trace_tile(pk, static, ii, jj, image_height, width,
                           seed_ref[0], sample_ref[0],
-                          spp, max_bounces)
+                          spp, max_bounces, early_exit=early_exit)
         out_x[:] = acc.x
         out_y[:] = acc.y
         out_z[:] = acc.z
@@ -136,7 +140,8 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                              max_bounces: int = C.MAX_BOUNCES,
                              tile_rows: int = 8, tile_cols: int = 256,
                              interpret=None, row0=0,
-                             image_height: int = None, vma=None):
+                             image_height: int = None, vma=None,
+                             early_exit: bool = True):
     """Backward Pallas megakernel: dL/d(packed) for L = Σ_pixels g · image_sum
     where image_sum is the spp-SUM the forward kernel produces.
 
@@ -224,10 +229,31 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                 return _bounce_step(pk, st, noise, static=static, bounce=b,
                                     clamp_weight=True)
 
-            # forward: keep each bounce's input state (small carry)
+            # forward: keep each bounce's input state (small carry).
+            # Bounces where EVERY lane of this tile is dead are skipped
+            # (lax.cond) — exact, since dead lanes contribute zero; the
+            # reverse sweep below skips symmetrically (docs/OCCUPANCY.md).
+            # (masks cross lax.cond as int32 — see integrator.trace_rays:
+            # Mosaic can't chain scf.ifs yielding fresh i1 vectors)
+            def _mask_safe(st):
+                return st._replace(
+                    alive=st.alive.astype(jnp.int32),
+                    skip_emission=st.skip_emission.astype(jnp.int32))
+
+            def _mask_bool(st):
+                return st._replace(alive=st.alive != 0,
+                                   skip_emission=st.skip_emission != 0)
+
             states = [init_state(pvec)]
             for b in range(max_bounces):
-                states.append(step(pvec, states[b], b))
+                if b == 0 or not early_exit:
+                    states.append(step(pvec, states[b], b))
+                else:
+                    states.append(_mask_bool(jax.lax.cond(
+                        jnp.any(states[b].alive),
+                        lambda st, bb=b: _mask_safe(
+                            step(pvec, _mask_bool(st), bb)),
+                        lambda st: st, _mask_safe(states[b]))))
 
             # reverse: cotangent on the final state's accumulated radiance
             import numpy as _np
@@ -249,12 +275,49 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                            zero, zero, black, black),
                 states[max_bounces])
             dvec_acc = jnp.zeros((n_leaves,), jnp.float32)
+            if vma is not None:
+                dvec_acc = jax.lax.pcast(dvec_acc, tuple(vma), to="varying")
+
+            def _strip_f0(tree):
+                """Split a cotangent pytree into its inexact leaves (cond
+                operands) and a rebuild closure re-inserting the float0
+                leaves (bool primals' cotangents, which lax.cond cannot
+                carry)."""
+                leaves, tdef = jax.tree.flatten(tree)
+                f0 = [getattr(l, "dtype", None) == _dtypes.float0
+                      for l in leaves]
+                live = tuple(l for l, m in zip(leaves, f0) if not m)
+
+                def rebuild(live_out):
+                    it = iter(live_out)
+                    return jax.tree.unflatten(
+                        tdef, [l if m else next(it)
+                               for l, m in zip(leaves, f0)])
+                return live, rebuild
+
             for b in reversed(range(max_bounces)):
-                _, vjp_fn = jax.vjp(
-                    lambda pv, st: step(pv, st, b), pvec, states[b])
-                d_pv, d_st = vjp_fn(d_state)
+                def run_vjp(live, b=b, rebuild=None):
+                    _, vjp_fn = jax.vjp(
+                        lambda pv, st: step(pv, st, b), pvec, states[b])
+                    d_pv, d_st = vjp_fn(rebuild(live))
+                    st_live, _ = _strip_f0(d_st)
+                    return d_pv, st_live
+
+                if b == 0 or not early_exit:
+                    _, vjp_fn = jax.vjp(
+                        lambda pv, st: step(pv, st, b), pvec, states[b])
+                    d_pv, d_state = vjp_fn(d_state)
+                else:
+                    # all-dead tiles skip the re-linearization+transpose:
+                    # the true pullback of a fully-masked bounce is the
+                    # identity on the radiance cotangent and zero on params
+                    live, rebuild = _strip_f0(d_state)
+                    d_pv, st_live = jax.lax.cond(
+                        jnp.any(states[b].alive),
+                        partial(run_vjp, b=b, rebuild=rebuild),
+                        lambda lv: (dvec_acc * 0.0, tuple(lv)), live)
+                    d_state = rebuild(st_live)
                 dvec_acc = dvec_acc + d_pv
-                d_state = d_st
             # camera-ray generation also depends on params (eye/basis)
             _, vjp_rays = jax.vjp(init_state, pvec)
             (d_pv0,) = vjp_rays(d_state)

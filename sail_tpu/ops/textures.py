@@ -111,12 +111,17 @@ _NOISE_PERM = np.array([
     204, 176, 115, 121, 50, 45, 127, 4, 150, 254, 138, 236, 205, 93, 222, 114,
     67, 29, 24, 72, 243, 141, 128, 195, 78, 66, 215, 61, 156, 180,
 ], dtype=np.int32)
-_NOISE_PERM2 = jnp.asarray(np.concatenate([_NOISE_PERM, _NOISE_PERM]))
+# plain numpy (converted on first use): a module-level jnp array would
+# initialize the XLA backend at import time, which breaks multi-host
+# bring-up (jax.distributed.initialize must run before any backend use —
+# tools/mp_render_worker.py imports this module only after initializing)
+_NOISE_PERM2 = np.concatenate([_NOISE_PERM, _NOISE_PERM])
 _NPS = 256
 
 
 def _grad(ix, iy, iz, dx, dy, dz):
-    h = _NOISE_PERM2[_NOISE_PERM2[_NOISE_PERM2[ix] + iy] + iz]
+    perm2 = jnp.asarray(_NOISE_PERM2)
+    h = perm2[perm2[perm2[ix] + iy] + iz]
     h = h & 15
     u = jnp.where((h < 8) | (h == 12) | (h == 13), dx, dy)
     v = jnp.where((h < 4) | (h == 12) | (h == 13), dy, dz)

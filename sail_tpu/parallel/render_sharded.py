@@ -32,6 +32,16 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _check_vma() -> bool:
+    """shard_map vma typing is ON everywhere except the Pallas INTERPRETER
+    fallback (CPU tests that force _use_pallas): pallas's hlo_interpreter
+    evaluates block slicing with dynamic_slice ops that mix device-varying
+    block data with unvarying grid scalars, which the vma checker rejects
+    (upstream jax bug; Mosaic lowerings on real TPU type-check fine —
+    exercised by tools/tpu_checks.py check 3/4)."""
+    return not (_use_pallas() and jax.default_backend() == "cpu")
+
+
 def _render_block(packed, static, height, width, row0, rows, spp_idx_base,
                   spp_local, seed, max_bounces):
     """Render `rows` image rows starting at global row `row0` (an int32
@@ -41,11 +51,13 @@ def _render_block(packed, static, height, width, row0, rows, spp_idx_base,
     bit-identical image."""
     if _use_pallas():
         from ..ops.pallas.megakernel import render_tile_fast
-        # note: the enclosing shard_map runs with check_vma=False — JAX's
-        # varying-manual-axes typing cannot yet see through pallas_call
-        # (vjp cotangent/type mismatches, interpreter dynamic_slice bugs)
+        # vma=("tile","spp"): the pallas_call declares its outputs (and the
+        # backward kernel its cotangent chain) device-varying over both mesh
+        # axes, so shard_map's check_vma=True typing passes end-to-end
+        vma = ("tile", "spp") if _check_vma() else None
         return render_tile_fast(packed, seed, spp_idx_base, row0, static,
-                                rows, width, spp_local, height, max_bounces)
+                                rows, width, spp_local, height, max_bounces,
+                                vma)
 
     @jax.checkpoint
     def one_sample(packed, i):
@@ -67,9 +79,14 @@ def _render_block(packed, static, height, width, row0, rows, spp_idx_base,
 
 def render_sharded(packed, static, mesh: Mesh, height: int, width: int,
                    spp: int, seed: int = 0,
-                   max_bounces: int = C.MAX_BOUNCES) -> Vec3:
+                   max_bounces: int = C.MAX_BOUNCES,
+                   sample0: int = 0) -> Vec3:
     """Distributed progressive render: returns the mean image as a Vec3 of
-    (H, W) arrays sharded over the "tile" axis."""
+    (H, W) arrays sharded over the "tile" axis.
+
+    `sample0`: first GLOBAL sample index — progressive/elastic callers
+    (parallel/elastic.py) accumulate disjoint sample ranges across calls and
+    get bit-identical results to one big render, on ANY mesh."""
     tile_n = mesh.shape["tile"]
     spp_n = mesh.shape["spp"]
     assert height % tile_n == 0, (height, tile_n)
@@ -78,12 +95,13 @@ def render_sharded(packed, static, mesh: Mesh, height: int, width: int,
     spp_local = spp // spp_n
 
     @partial(shard_map, mesh=mesh, in_specs=(P(),),
-             out_specs=P("tile", None), check_vma=not _use_pallas())
+             out_specs=P("tile", None), check_vma=_check_vma())
     def run(packed):
         ti = jax.lax.axis_index("tile")
         si = jax.lax.axis_index("spp")
         acc = _render_block(packed, static, height, width, ti * rows, rows,
-                            si * spp_local, spp_local, seed, max_bounces)
+                            sample0 + si * spp_local, spp_local, seed,
+                            max_bounces)
         acc = jax.tree.map(lambda a: jax.lax.psum(a, "spp"), acc)
         return acc
 
@@ -105,7 +123,7 @@ def sharded_loss_and_image(packed, target: Vec3, static, mesh: Mesh,
     spp_local = spp // spp_n
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), P("tile", None)),
-             out_specs=(P(), P("tile", None)), check_vma=not _use_pallas())
+             out_specs=(P(), P("tile", None)), check_vma=_check_vma())
     def run(packed, target):
         ti = jax.lax.axis_index("tile")
         si = jax.lax.axis_index("spp")

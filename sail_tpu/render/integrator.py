@@ -143,7 +143,8 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
                max_bounces: int = C.MAX_BOUNCES,
                clamp_weight: bool = True,
                rand_override=None,
-               remat_bounces: bool = False) -> TraceResult:
+               remat_bounces: bool = False,
+               early_exit: bool = False) -> TraceResult:
     """Trace a batch of rays through the packed scene.
 
     `scene` is a PackedScene pytree; `static` a SceneStatic; `ro`/`rd` Vec3s
@@ -157,6 +158,14 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
     `remat_bounces`: rematerialize each bounce in the backward pass
     (`jax.checkpoint` around the bounce body) — peak residual memory drops
     from all-bounces to one bounce; identical primal values.
+
+    `early_exit`: skip a whole bounce when EVERY lane in this batch is dead
+    (one any-reduce + lax.cond per bounce).  Bit-identical results — dead
+    lanes contribute exactly zero — but whole-batch-dead only pays off when
+    the batch is a small tile (the Pallas megakernel's 8-row blocks): the
+    measured upper bound for any compaction scheme on the closed benchmark
+    scenes is 1.18-1.24x, while open scenes (escaped rays die in coherent
+    sky regions) reach 3x (docs/OCCUPANCY.md).
     """
     shape = jnp.broadcast_shapes(ro.shape, rd.shape)
     ro = ro.broadcast_to(shape)
@@ -176,7 +185,27 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
             clamp_weight=clamp_weight, rand_override=rand_override)
         if remat_bounces:
             step = jax.checkpoint(step)
-        state = step(scene, state)
+        if early_exit and bounce > 0:
+            # bounce 0 always runs (primary rays + G-buffer).
+            # Masks cross the cond as int32: Mosaic cannot legalize chained
+            # scf.ifs that yield freshly-computed i1 vectors (minimal repro:
+            # two conds whose true branch computes a new bool mask fail;
+            # int32 masks chain fine — measured on v5e, 2026-08-20).
+            def _mask_safe(st):
+                return st._replace(
+                    alive=st.alive.astype(jnp.int32),
+                    skip_emission=st.skip_emission.astype(jnp.int32))
+
+            def _mask_bool(st):
+                return st._replace(alive=st.alive != 0,
+                                   skip_emission=st.skip_emission != 0)
+
+            state = _mask_bool(jax.lax.cond(
+                jnp.any(state.alive),
+                lambda st: _mask_safe(step(scene, _mask_bool(st))),
+                lambda st: st, _mask_safe(state)))
+        else:
+            state = step(scene, state)
 
     return TraceResult(state.e, state.g_normal, state.g_position)
 

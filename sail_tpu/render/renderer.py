@@ -139,7 +139,13 @@ class Renderer:
             self._gbuffer_ok = True
         img = filters.apply_filter(name, self.current(), self._normal,
                                    self._position, **params)
-        return np.asarray(img.stack())
+        out = np.asarray(img.stack())
+        if scene is not None and scene.select is not None:
+            # selection-box line pass (ref: src/core/renderer.js:65-71) —
+            # composited host-side over the transferred frame
+            from .overlay import draw_selection
+            out = draw_selection(out, scene, scene.select)
+        return out
 
     # -- checkpoint / resume -----------------------------------------------
     def checkpoint(self) -> dict:

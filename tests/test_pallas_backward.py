@@ -54,3 +54,26 @@ def test_pallas_backward_multi_tile_accumulation():
     for a, b in zip(jax.tree.leaves(one), jax.tree.leaves(four)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_backward_early_exit_open_scene():
+    """Multi-bounce grads on an OPEN scene: sky tiles go fully dead after
+    bounce 0, driving the backward kernel through its lax.cond skip path
+    (docs/OCCUPANCY.md); gradients must still match interior AD exactly."""
+    packed, static = scenes.material_demo_open().pack()
+    h = w = 4
+    bounces = 3
+
+    def loss(p):
+        res = render_sample(p, static, h, w, 0, 0, max_bounces=bounces)
+        c = res.color
+        return jnp.sum(c.x + c.y + c.z)
+
+    g_xla = jax.grad(loss)(packed)  # eager
+    g = Vec3(jnp.ones((h, w)), jnp.ones((h, w)), jnp.ones((h, w)))
+    g_pal = render_grad_block_pallas(packed, static, g, h, w, 1, 0, 0,
+                                     max_bounces=bounces,
+                                     tile_rows=4, tile_cols=4)
+    for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -41,3 +41,28 @@ def test_megakernel_custom_vjp_grads():
     g = jax.grad(lambda p: loss(p))(packed)
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_early_exit_bit_identical():
+    """trace_rays(early_exit=True) skips all-dead bounces via lax.cond —
+    results must be BIT-identical to the masked full-depth loop, on both an
+    open scene (lanes actually die) and a closed one (cond always taken)."""
+    import jax.numpy as jnp
+
+    from sail_tpu.core import rng
+    from sail_tpu.core.camera import rays_for_pixels
+    from sail_tpu.render.integrator import trace_rays
+
+    for scene_fn in (scenes.material_demo_open, scenes.cornell_mirror):
+        packed, static = scene_fn().pack()
+        h = w = 8
+        ii = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w))
+        jj = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
+        noise = rng.pixel_noise(0, 0, ii=ii, jj=jj)
+        jx, jy, _ = noise.uniform3(0, rng.TAG_PIXEL_JITTER)
+        ro, rd = rays_for_pixels(packed.camera, ii.astype(jnp.float32),
+                                 jj.astype(jnp.float32), h, w, jx, jy)
+        a = trace_rays(packed, static, ro, rd, noise, 4, early_exit=False)
+        b = trace_rays(packed, static, ro, rd, noise, 4, early_exit=True)
+        for x, y in zip(jax.tree.leaves(a.color), jax.tree.leaves(b.color)):
+            assert (np.asarray(x) == np.asarray(y)).all()

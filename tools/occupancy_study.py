@@ -38,29 +38,11 @@ def main():
     from sail_tpu.core.camera import rays_for_pixels
     from sail_tpu.render.integrator import alive_fractions
 
-    def open_material_demo():
-        """material_demo without the enclosing cornellbox: primary/secondary
-        rays can escape — the best case for compaction."""
-        import sail_tpu as sail
-        scene = sail.Scene()
-        scene.add(sail.Camera((0.0, 0.3, -2.8), (0.0, 0.0, 0.0)))
-        floor_tex = sail.Checkerboard2((1.0, 1.0, 1.0), (0.2, 0.2, 0.2), 0.25)
-        scene.add(sail.Rectangle((-1.5, -0.99, -1.5), (1.5, -0.99, 1.5),
-                                 sail.Matte(), floor_tex))
-        scene.add(sail.Sphere((-0.9, -0.65, 0.0), 0.33, sail.Metal(roughness=0.1)))
-        scene.add(sail.Sphere((-0.3, -0.65, 0.0), 0.33, sail.Mirror()))
-        scene.add(sail.Sphere((0.3, -0.65, 0.0), 0.33, sail.Glass(eta=1.5)))
-        scene.add(sail.Sphere((0.9, -0.65, 0.0), 0.33, sail.Matte(kd=0.9, sigma=20.0)))
-        scene.add(sail.AreaLight(
-            sail.Rectangle((-0.5, 1.48, -0.5), (0.5, 1.48, 0.5), sail.Matte()),
-            (6.0, 6.0, 6.0)))
-        return scene
-
     configs = [
         ("config2_cornell_mirror", scenes.cornell_mirror()),
         ("config3_material_demo", scenes.material_demo()),
         ("config4_lights_quadrics", scenes.lights_and_quadrics()),
-        ("open_material_demo", open_material_demo()),
+        ("open_material_demo", scenes.material_demo_open()),
     ]
 
     h = w = args.size
