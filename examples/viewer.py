@@ -197,6 +197,12 @@ def main():
                          "editable DEFAULT_SCRIPT scene")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address. POST /run execs the scene script "
+                         "SERVER-side (unlike the reference, whose editor "
+                         "evals in the browser), so exposing it is remote "
+                         "code execution: binding beyond loopback requires "
+                         "an explicit opt-in here.")
     args = ap.parse_args()
 
     if args.scene:
@@ -214,7 +220,7 @@ def main():
     state = ViewerState(scene, args.size)
     state.script = script
     threading.Thread(target=state.render_loop, daemon=True).start()
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(state))
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"viewer on http://localhost:{args.port} "
           f"({args.scene or 'editor scene'}, {args.size}x{args.size})")
     server.serve_forever()

@@ -25,14 +25,22 @@ A sphere's silhouette from eye o is the analytic tangent circle: with
 w = c − o, d = |w|, the circle has center c − (r²/d)·ŵ, radius r·√(1−r²/d²),
 in the plane ⊥ ŵ — so edges are *sampled*, never searched for.
 
-Scope (documented limitation, see ARCHITECTURE.md): primary-visibility
-edges of spheres (analytic tangent circle) and of box-like primitives —
-Cube, Rectangle, Cornellbox (their 12 straight edges; ref geometry list
-/root/reference/src/scene/geometry.js:129-607).  The Δf straddle estimator
-makes an explicit silhouette classification unnecessary: a hidden or
-radiance-continuous edge measures Δf ≈ 0 and contributes nothing.
-Cone/cylinder/disk/quadric silhouettes and indirect (deeper-bounce)
-boundary terms still carry interior-only gradients.
+Scope (see ARCHITECTURE.md): primary-visibility edges of
+  - spheres (analytic tangent circle),
+  - box-like primitives — Cube, Rectangle, Cornellbox (12 straight edges),
+  - surfaces of revolution — Cone, Cylinder, Disk, Paraboloid,
+    Hyperboloid: sharp RIM circles (base/top/annulus boundaries) plus the
+    closed-form smooth silhouettes where they exist (tangent generator
+    lines of cones/cylinders; the paraboloid's silhouette, whose local-xy
+    projection is the exact circle (x−uₓ)²+(y−u_y)² = ρ²−u_z/k for eye u).
+(ref geometry list /root/reference/src/scene/geometry.js:129-607.)  The Δf
+straddle estimator makes an explicit silhouette classification unnecessary:
+a hidden or radiance-continuous edge measures Δf ≈ 0 and contributes
+nothing.  Because every projection runs through the LIVE pk.camera, the
+same terms supply the camera's boundary gradient (eye/basis motion sweeps
+silhouettes across pixels).  Remaining documented gaps: the hyperboloid's
+smooth silhouette conic (its rims are handled), and indirect
+(deeper-bounce) visibility terms.
 """
 from __future__ import annotations
 
@@ -202,6 +210,200 @@ def _box_edge_scalar(pk, packed_detached, static, obj_idx: int,
 
 
 _BOX_CATEGORIES = (C.CUBE, C.RECTANGLE, C.CORNELLBOX)
+_REVOLUTION_CATEGORIES = (C.CONE, C.CYLINDER, C.DISK, C.PARABOLOID,
+                          C.HYPERBOLOID)
+
+
+def _curve_edge_scalar(pk, pk_detached, static, pts_fn, n_pts: int,
+                       d_loss_d_image: Vec3, height: int, width: int,
+                       seed: int, n_noise: int, delta_px: float,
+                       max_bounces: int, grazing: bool,
+                       extrapolate: bool = True):
+    """Differentiable edge-scalar contribution of ONE parametric silhouette
+    curve `pts_fn(pk, ts) -> (Vec3 points, float mask)` for ts ∈ [0, 1]
+    (closed curves simply wrap at t=1).
+
+    Live quantities: the curve points (functions of shape params AND the
+    camera — so camera boundary gradients flow through the same term).
+    Detached: screen tangents/arc lengths (from interval-boundary samples,
+    exact for straight segments, O(1/n²) for circles), the Δf radiance
+    jump, and the validity mask.
+
+    `grazing`: the curve is a SMOOTH silhouette (sphere-style tangency), so
+    the inside straddle ray lands ~√δ from the rim — apply the
+    2·Δf(δ/4) − Δf(δ) extrapolation.  Sharp rims (box edges, cylinder caps,
+    disk annulus boundaries) land O(δ) away and skip it."""
+    sg = jax.lax.stop_gradient
+    tm = (jnp.arange(n_pts, dtype=jnp.float32) + 0.5) / n_pts
+    tb = jnp.arange(n_pts + 1, dtype=jnp.float32) / n_pts
+    mid, mmask = pts_fn(pk, tm)                    # live midpoints
+    bnd, _ = pts_fn(pk_detached, tb)               # detached boundaries
+    col, row, depth = screen_project(pk.camera, mid, height, width)
+    colb, rowb, depthb = screen_project(pk_detached.camera, bnd,
+                                        height, width)
+    tx = colb[1:] - colb[:-1]
+    ty = rowb[1:] - rowb[:-1]
+    dl = jnp.sqrt(tx * tx + ty * ty)
+    nlen = jnp.maximum(dl, 1e-12)
+    nx, ny = ty / nlen, -tx / nlen
+
+    col_d, row_d = sg(col), sg(row)
+    in_front = ((sg(depth) > 0.0) & (depthb[1:] > 0.0)
+                & (depthb[:-1] > 0.0))
+    df = _edge_radiance_delta(pk_detached, static, col_d, row_d, (nx, ny),
+                              height, width, seed, n_noise, delta_px,
+                              max_bounces)
+    if grazing and extrapolate:
+        df_q = _edge_radiance_delta(pk_detached, static, col_d, row_d,
+                                    (nx, ny), height, width, seed, n_noise,
+                                    delta_px / 4.0, max_bounces)
+        df = df_q * 2.0 - df
+
+    pi = jnp.clip(row_d.astype(jnp.int32), 0, height - 1)
+    pj = jnp.clip(col_d.astype(jnp.int32), 0, width - 1)
+    ok = ((row_d >= 0) & (row_d < height) & (col_d >= 0) & (col_d < width)
+          & in_front & (sg(mmask) > 0.5))
+    w_df = (d_loss_d_image.x[pi, pj] * df.x +
+            d_loss_d_image.y[pi, pj] * df.y +
+            d_loss_d_image.z[pi, pj] * df.z)
+    coeff = jnp.where(ok, w_df * dl, 0.0)
+    return jnp.sum(coeff * (nx * col + ny * row))
+
+
+def _revolution_curves(static, i: int, n_edge_samples: int):
+    """Silhouette curves of object `i`, a surface of revolution about its
+    local z axis (world +y — ops/intersect.py to_object/from_object).
+    Returns a list of (pts_fn, n_pts, grazing) for `_curve_edge_scalar`.
+
+    Rim circles are SHARP edges where the clipped surface ends; the smooth
+    silhouettes are the view-tangency curves:
+      - cone: the two generator lines at azimuths φ₀ ± acos(−tanα·v_z/ρ)
+        for eye-minus-apex v (local), tangent-plane-through-eye condition
+        n(φ)·v = 0 (ref shapes: src/shader/shape/cone.glsl);
+      - cylinder: the two generators at φ₀ ± acos(r/ρ) (classic external
+        tangent);
+      - paraboloid z = k(x²+y²): eliminating z from the polar-plane
+        condition gives the exact circle (x−uₓ)² + (y−u_y)² = ρ² − u_z/k
+        in the local xy plane, lifted back to z = k(x²+y²) and clipped to
+        [zmin, zmax] by the mask;
+      - hyperboloid: smooth silhouette (a conic in the polar plane) is NOT
+        modeled — rims only (documented gap)."""
+    from ..ops import intersect as isect
+
+    cat = static.object_categories[i]
+    n_circ = max(16, n_edge_samples // 2)
+    n_gen = max(8, n_edge_samples // 8)
+    two_pi = 2.0 * jnp.pi
+
+    def circle(radius_of, z_of, mask_of=None):
+        def fn(pk, ts):
+            sp = pk.objects[i]
+            r = radius_of(sp)
+            z = z_of(sp)
+            ang = two_pi * ts
+            local = Vec3(r * jnp.cos(ang), r * jnp.sin(ang),
+                         jnp.broadcast_to(z, ts.shape).astype(jnp.float32))
+            pts = isect.from_object(local) + sp.p
+            m = (jnp.ones(ts.shape, jnp.float32) if mask_of is None
+                 else mask_of(sp, local))
+            return pts, m
+        return fn
+
+    def eye_local(pk, sp):
+        return isect.to_object(pk.camera.eye - sp.p)
+
+    if cat == C.DISK:
+        return [(circle(lambda sp: sp.r, lambda sp: 0.0), n_circ, False),
+                (circle(lambda sp: sp.inner_r, lambda sp: 0.0),
+                 n_circ, False)]
+
+    if cat == C.CYLINDER:
+        def gen(sign):
+            def fn(pk, ts):
+                sp = pk.objects[i]
+                u = eye_local(pk, sp)
+                rho = jnp.sqrt(jnp.maximum(u.x * u.x + u.y * u.y, 1e-12))
+                phi0 = jnp.arctan2(u.y, u.x)
+                a = sp.r / rho
+                exists = (a < 1.0 - 1e-6)
+                dphi = jnp.arccos(jnp.clip(a, -1.0 + 1e-6, 1.0 - 1e-6))
+                phi = phi0 + sign * dphi
+                local = Vec3(jnp.broadcast_to(sp.r * jnp.cos(phi), ts.shape),
+                             jnp.broadcast_to(sp.r * jnp.sin(phi), ts.shape),
+                             sp.h * ts)
+                pts = isect.from_object(local) + sp.p
+                return pts, jnp.broadcast_to(
+                    exists.astype(jnp.float32), ts.shape)
+            return fn
+        return [(circle(lambda sp: sp.r, lambda sp: 0.0), n_circ, False),
+                (circle(lambda sp: sp.r, lambda sp: sp.h), n_circ, False),
+                (gen(1.0), n_gen, True), (gen(-1.0), n_gen, True)]
+
+    if cat == C.CONE:
+        def gen(sign):
+            def fn(pk, ts):
+                sp = pk.objects[i]
+                u = eye_local(pk, sp)
+                v = Vec3(u.x, u.y, u.z - sp.h)     # eye relative to apex
+                rho = jnp.sqrt(jnp.maximum(v.x * v.x + v.y * v.y, 1e-12))
+                phi0 = jnp.arctan2(v.y, v.x)
+                tan_a = sp.r / jnp.maximum(sp.h, 1e-9)
+                a = -tan_a * v.z / rho
+                exists = jnp.abs(a) < 1.0 - 1e-6
+                dphi = jnp.arccos(jnp.clip(a, -1.0 + 1e-6, 1.0 - 1e-6))
+                phi = phi0 + sign * dphi
+                # apex (0,0,h) → base rim point (r cosφ, r sinφ, 0)
+                local = Vec3(sp.r * jnp.cos(phi) * ts,
+                             sp.r * jnp.sin(phi) * ts,
+                             sp.h * (1.0 - ts))
+                pts = isect.from_object(local) + sp.p
+                return pts, jnp.broadcast_to(
+                    exists.astype(jnp.float32), ts.shape)
+            return fn
+        return [(circle(lambda sp: sp.r, lambda sp: 0.0), n_circ, False),
+                (gen(1.0), n_gen, True), (gen(-1.0), n_gen, True)]
+
+    if cat == C.PARABOLOID:
+        def zminmax(sp):
+            return jnp.minimum(sp.z0, sp.z1), jnp.maximum(sp.z0, sp.z1)
+
+        def kof(sp):
+            _, zmax = zminmax(sp)
+            return zmax / jnp.maximum(sp.r * sp.r, 1e-12)
+
+        def rim_r(sp, z):
+            return jnp.sqrt(jnp.maximum(z / kof(sp), 0.0))
+
+        def smooth(pk, ts):
+            sp = pk.objects[i]
+            zmin, zmax = zminmax(sp)
+            k = kof(sp)
+            u = eye_local(pk, sp)
+            r2 = u.x * u.x + u.y * u.y - u.z / k
+            exists = r2 > 1e-9
+            rr = jnp.sqrt(jnp.maximum(r2, 1e-9))
+            ang = two_pi * ts
+            x = u.x + rr * jnp.cos(ang)
+            y = u.y + rr * jnp.sin(ang)
+            z = k * (x * x + y * y)
+            pts = isect.from_object(Vec3(x, y, z)) + sp.p
+            m = (exists & (z >= zmin) & (z <= zmax)).astype(jnp.float32)
+            return pts, m
+        return [(circle(lambda sp: rim_r(sp, zminmax(sp)[0]),
+                        lambda sp: zminmax(sp)[0]), n_circ, False),
+                (circle(lambda sp: rim_r(sp, zminmax(sp)[1]),
+                        lambda sp: zminmax(sp)[1]), n_circ, False),
+                (smooth, n_circ, True)]
+
+    if cat == C.HYPERBOLOID:
+        def rim(which):
+            def radius_of(sp):
+                q = getattr(sp, which)
+                return jnp.sqrt(jnp.maximum(q.x * q.x + q.y * q.y, 1e-12))
+            return circle(radius_of, lambda sp: getattr(sp, which).z)
+        return [(rim("p1"), n_circ, False), (rim("p2"), n_circ, False)]
+
+    return []
 
 
 def boundary_term(packed, static, d_loss_d_image, height: int, width: int,
@@ -224,7 +426,9 @@ def boundary_term(packed, static, d_loss_d_image, height: int, width: int,
                   if cat == C.SPHERE]
     box_ids = [i for i, cat in enumerate(static.object_categories)
                if cat in _BOX_CATEGORIES]
-    if not sphere_ids and not box_ids:
+    rev_ids = [i for i, cat in enumerate(static.object_categories)
+               if cat in _REVOLUTION_CATEGORIES]
+    if not sphere_ids and not box_ids and not rev_ids:
         return jax.tree.map(jnp.zeros_like, packed)
 
     ts = (jnp.arange(n_edge_samples, dtype=jnp.float32) + 0.5) / n_edge_samples
@@ -241,6 +445,13 @@ def boundary_term(packed, static, d_loss_d_image, height: int, width: int,
             total = total + _box_edge_scalar(
                 pk, pk_detached, static, i, d_loss_d_image, height, width,
                 seed, n_noise, delta_px, max_bounces, k_per_edge, scale)
+        for i in rev_ids:
+            for pts_fn, n_pts, grazing in _revolution_curves(
+                    static, i, n_edge_samples):
+                total = total + _curve_edge_scalar(
+                    pk, pk_detached, static, pts_fn, n_pts, d_loss_d_image,
+                    height, width, seed, n_noise, delta_px, max_bounces,
+                    grazing, extrapolate)
         for i in sphere_ids:
             sp = pk.objects[i]
             s = sphere_silhouette(pk.camera, sp.center, sp.radius, ts)
@@ -315,9 +526,11 @@ def shadow_boundary_term(packed, static, d_loss_d_image, height: int,
 
     Scope (documented): first-bounce (camera-visible) matte receivers,
     RECTANGLE area lights, gradients w.r.t. the occluding spheres'
-    center/radius.  Deeper-bounce shadows, other occluder shapes, and
-    multi-occluder overlap (a second occluder already covering the curve)
-    are not modeled.
+    center/radius AND the camera (receiver points re-derived from live
+    camera rays, so eye/basis motion sweeps the penumbra too).
+    Deeper-bounce shadows, other occluder shapes (cone/cylinder/quadric
+    occluders), and multi-occluder overlap (a second occluder already
+    covering the curve) are not modeled.
 
     Returns a pytree shaped like `packed` (zeros elsewhere); add to the
     interior and silhouette terms.
@@ -369,8 +582,11 @@ def shadow_boundary_term(packed, static, d_loss_d_image, height: int,
     phis = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
     x = hit.p  # receivers, (H, W)
 
-    def curve_points(sphere_p, light_obj_p):
-        """Penumbra-curve points y(t) on the light plane, (K, H, W)."""
+    def curve_points(sphere_p, light_obj_p, x):
+        """Penumbra-curve points y(t) on the light plane, (K, H, W), as a
+        function of the occluder params AND the receiver points x — so the
+        edge scalar's gradient carries both occluder motion and
+        camera-driven receiver motion."""
         c, r = sphere_p.center, sphere_p.radius
         w = c - x
         d = w.length()
@@ -400,7 +616,7 @@ def shadow_boundary_term(packed, static, d_loss_d_image, height: int,
             le = pk_d.lights[li].emission
 
             # --- detached coefficients --------------------------------------
-            y_d, lam, (ex, ey, n_l), d_cx = curve_points(sp_d, lobj_d)
+            y_d, lam, (ex, ey, n_l), d_cx = curve_points(sp_d, lobj_d, x)
             rel = y_d - lobj_d.bmin
             exl = ex.length()
             eyl = ey.length()
@@ -449,11 +665,18 @@ def shadow_boundary_term(packed, static, d_loss_d_image, height: int,
             saved.append((i, lobj_d, coeff, n_hat))
 
     def edge_scalar(pk):
-        # differentiable part: curve position as a function of the occluding
-        # sphere's params (everything else is detached constants)
+        # differentiable part: curve position as a function of the
+        # occluding sphere's params AND the receiver point (live camera
+        # rays re-intersected against the DETACHED scene — x stays on the
+        # fixed receiver surface while moving with the eye/basis, so
+        # dL/d(camera) picks up the penumbra sweep the per-light-sample
+        # V(x,y) step hides from interior AD).  Everything else is
+        # detached constants.
+        ro_l, rd_l = rays_for_pixels(pk.camera, ii, jj, height, width)
+        x_live = isect.intersect_scene(pk_d.objects, static, ro_l, rd_l).p
         total = jnp.float32(0.0)
         for i, lobj_d, coeff, n_hat in saved:
-            y_live, _, _, _ = curve_points(pk.objects[i], lobj_d)
+            y_live, _, _, _ = curve_points(pk.objects[i], lobj_d, x_live)
             total = total + jnp.sum(coeff * (n_hat.x * y_live.x +
                                              n_hat.y * y_live.y +
                                              n_hat.z * y_live.z))

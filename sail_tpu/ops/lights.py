@@ -63,9 +63,51 @@ def _sample_geometry(cat: int, params, u1, u2, shape):
                  jnp.zeros(shape, jnp.float32))
         pdf = jnp.broadcast_to(1.0 / jnp.maximum(area, 1e-12), shape)
         return p, n, pdf
+    if cat == C.CUBE:
+        # Uniform-over-surface sampling: face picked area-weighted from u1
+        # (u1 rescaled within the face), point from (u1', u2).  pdf = 1/A.
+        # The reference only stubs this (ref: shape/cube.glsl:50); analytic
+        # per-face sampling is the correct analog of rectangle.glsl:65-69.
+        ext = params.bmax - params.bmin
+        ax = ext.y * ext.z   # each x-normal face
+        ay = ext.x * ext.z
+        az = ext.x * ext.y
+        area = 2.0 * (ax + ay + az)
+        r = u1 * area
+        # cumulative areas for faces [x-, x+, y-, y+, z-, z+]
+        c1, c2, c3, c4, c5 = ax, 2 * ax, 2 * ax + ay, 2 * (ax + ay), \
+            2 * (ax + ay) + az
+        face = (jnp.asarray(0, jnp.int32) + (r >= c1) + (r >= c2) +
+                (r >= c3) + (r >= c4) + (r >= c5)).astype(jnp.int32)
+        lo = jnp.stack([0.0 * r, c1 + 0.0 * r, c2 + 0.0 * r, c3 + 0.0 * r,
+                        c4 + 0.0 * r, c5 + 0.0 * r])
+        fa = jnp.stack([ax + 0.0 * r, ax + 0.0 * r, ay + 0.0 * r,
+                        ay + 0.0 * r, az + 0.0 * r, az + 0.0 * r])
+        idx = face[None]
+        u1p = jnp.clip((r - jnp.take_along_axis(lo, idx, 0)[0]) /
+                       jnp.maximum(jnp.take_along_axis(fa, idx, 0)[0], 1e-12),
+                       0.0, 1.0)
+        on_x = face < 2
+        on_y = (face >= 2) & (face < 4)
+        hi_face = (face % 2) == 1
+        fx = jnp.where(on_x, jnp.where(hi_face, 1.0, 0.0),
+                       jnp.where(on_y, u1p, u1p))
+        fy = jnp.where(on_x, u1p,
+                       jnp.where(on_y, jnp.where(hi_face, 1.0, 0.0), u2))
+        fz = jnp.where(on_x, u2,
+                       jnp.where(on_y, u2, jnp.where(hi_face, 1.0, 0.0)))
+        p = Vec3(params.bmin.x + ext.x * fx, params.bmin.y + ext.y * fy,
+                 params.bmin.z + ext.z * fz)
+        zero = jnp.zeros(shape, jnp.float32)
+        sgn = jnp.where(hi_face, 1.0, -1.0)
+        n = Vec3(jnp.where(on_x, sgn, zero), jnp.where(on_y, sgn, zero),
+                 jnp.where(on_x | on_y, zero, sgn)) * params.reverse
+        pdf = jnp.broadcast_to(1.0 / jnp.maximum(area, 1e-12), shape)
+        return p, n, pdf
     raise NotImplementedError(
         f"area-light sampling for shape category {cat} is not supported "
-        "(the reference stubs these too: shape/{cube,cone,...}.glsl sample*)")
+        "(Scene.add rejects such AreaLights; the reference stubs them: "
+        "shape/{cone,cylinder,...}.glsl sample*)")
 
 
 def sample_direct(objects: tuple, lights: tuple, static, hit_p: Vec3, hit_n: Vec3,

@@ -45,7 +45,7 @@ def _flatten_scene(packed):
 
 
 def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
-                max_bounces, early_exit=True):
+                max_bounces, early_exit=False):
     """Accumulate `spp` samples for one tile — shared by the kernel body and
     (for parity testing) the interpreter path."""
     from ...render.integrator import trace_rays
@@ -55,9 +55,13 @@ def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
         jx, jy, _ = noise.uniform3(0, rng.TAG_PIXEL_JITTER)
         ro, rd = rays_for_pixels(pk.camera, ii.astype(jnp.float32),
                                  jj.astype(jnp.float32), height, width, jx, jy)
-        # early_exit: a row-tile whose lanes are ALL dead skips the rest of
-        # the bounce loop — exact, and worth up to ~2.5x on open scenes
-        # where escaped rays die in coherent sky tiles (docs/OCCUPANCY.md)
+        # early_exit (opt-in): a row-tile whose lanes are ALL dead skips the
+        # rest of the bounce loop — mathematically exact (dead lanes add 0)
+        # and worth up to ~2.5x on open scenes where escaped rays die in
+        # coherent sky tiles, but NOT bit-identical: lax.cond changes XLA's
+        # fusion/codegen by a few ulp even on always-taken branches
+        # (docs/OCCUPANCY.md).  Default OFF so the production kernels stay
+        # bit-equal to the XLA integrator (tools/tpu_checks.py check 1).
         res = trace_rays(pk, static, ro, rd, noise, max_bounces,
                          early_exit=early_exit)
         return acc + res.color
@@ -72,7 +76,7 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
                         seed, sample0, max_bounces: int = C.MAX_BOUNCES,
                         tile_rows: int = 8, interpret=None,
                         row0=0, image_height: int = None,
-                        vma=None, early_exit: bool = True) -> Vec3:
+                        vma=None, early_exit: bool = False) -> Vec3:
     """Forward render of an H×W block via the Pallas megakernel.
 
     Returns the SUM of `spp` sample passes (divide by spp for the mean).
@@ -140,8 +144,7 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                              max_bounces: int = C.MAX_BOUNCES,
                              tile_rows: int = 8, tile_cols: int = 256,
                              interpret=None, row0=0,
-                             image_height: int = None, vma=None,
-                             early_exit: bool = True):
+                             image_height: int = None, vma=None):
     """Backward Pallas megakernel: dL/d(packed) for L = Σ_pixels g · image_sum
     where image_sum is the spp-SUM the forward kernel produces.
 
@@ -155,6 +158,22 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
     of the forward kernel's no-HBM-between-bounces property.  Parameter
     gradients accumulate across the (sequential) TPU grid into a single
     (1, n_leaves) block.
+
+    Unlike the forward kernel there is NO early-exit option: wrapping the
+    per-bounce re-linearization in lax.cond produced NaN cotangents on open
+    scenes (the round-2 regression — cond-wrapped vjp with float0-stripped
+    cotangent plumbing), and the backward runs over 8×256 tiles where the
+    all-dead case is rarer anyway; the masked full-depth adjoint is the one
+    code path.
+
+    shard_map vma typing: callers must run this under check_vma=False
+    (parallel/render_sharded._check_vma(grad=True)).  Inside a Mosaic
+    kernel trace, vma tags attach only to VMEM block reads of
+    device-varying operands (the g blocks here) while SMEM scalar reads
+    stay unvarying and lax.pcast(to="varying") is a silent no-op — so the
+    in-kernel jax.vjp can never type-match a varying cotangent against the
+    (unvarying) primal chain.  `vma` is accepted for the out_shape
+    declaration only.
     """
     from ...render.integrator import _PathState, _bounce_step
 
@@ -181,10 +200,6 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
     def kernel(params_ref, seed_ref, sample_ref, row0_ref,
                gx_ref, gy_ref, gz_ref, dout_ref):
         params_vec = jnp.stack([params_ref[i] for i in range(n_leaves)])
-        if vma is not None:
-            # under shard_map vma typing the cotangents (g blocks) are
-            # device-varying; the primal chain must carry the same tags
-            params_vec = jax.lax.pcast(params_vec, tuple(vma), to="varying")
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         shape = (tile_rows, tile_cols)
@@ -213,10 +228,6 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
             def init_state(pv):
                 ro, rd = camera_rays(pv)
                 zero = jnp.zeros(ro.shape, jnp.float32)
-                if vma is not None:
-                    # constants must carry the same device-varying tags as
-                    # the rest of the chain or their vjp rejects cotangents
-                    zero = jax.lax.pcast(zero, tuple(vma), to="varying")
                 black = Vec3(zero, zero, zero)
                 ones = Vec3(zero + 1.0, zero + 1.0, zero + 1.0)
                 return _PathState(ro, rd, black, ones,
@@ -230,38 +241,15 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                                     clamp_weight=True)
 
             # forward: keep each bounce's input state (small carry).
-            # Bounces where EVERY lane of this tile is dead are skipped
-            # (lax.cond) — exact, since dead lanes contribute zero; the
-            # reverse sweep below skips symmetrically (docs/OCCUPANCY.md).
-            # (masks cross lax.cond as int32 — see integrator.trace_rays:
-            # Mosaic can't chain scf.ifs yielding fresh i1 vectors)
-            def _mask_safe(st):
-                return st._replace(
-                    alive=st.alive.astype(jnp.int32),
-                    skip_emission=st.skip_emission.astype(jnp.int32))
-
-            def _mask_bool(st):
-                return st._replace(alive=st.alive != 0,
-                                   skip_emission=st.skip_emission != 0)
-
             states = [init_state(pvec)]
             for b in range(max_bounces):
-                if b == 0 or not early_exit:
-                    states.append(step(pvec, states[b], b))
-                else:
-                    states.append(_mask_bool(jax.lax.cond(
-                        jnp.any(states[b].alive),
-                        lambda st, bb=b: _mask_safe(
-                            step(pvec, _mask_bool(st), bb)),
-                        lambda st: st, _mask_safe(states[b]))))
+                states.append(step(pvec, states[b], b))
 
             # reverse: cotangent on the final state's accumulated radiance
             import numpy as _np
             from jax import dtypes as _dtypes
 
             zero = jnp.zeros(ii.shape, jnp.float32)
-            if vma is not None:
-                zero = jax.lax.pcast(zero, tuple(vma), to="varying")
             black = Vec3(zero, zero, zero)
 
             def _ct_like(ct, primal):
@@ -275,48 +263,11 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                            zero, zero, black, black),
                 states[max_bounces])
             dvec_acc = jnp.zeros((n_leaves,), jnp.float32)
-            if vma is not None:
-                dvec_acc = jax.lax.pcast(dvec_acc, tuple(vma), to="varying")
-
-            def _strip_f0(tree):
-                """Split a cotangent pytree into its inexact leaves (cond
-                operands) and a rebuild closure re-inserting the float0
-                leaves (bool primals' cotangents, which lax.cond cannot
-                carry)."""
-                leaves, tdef = jax.tree.flatten(tree)
-                f0 = [getattr(l, "dtype", None) == _dtypes.float0
-                      for l in leaves]
-                live = tuple(l for l, m in zip(leaves, f0) if not m)
-
-                def rebuild(live_out):
-                    it = iter(live_out)
-                    return jax.tree.unflatten(
-                        tdef, [l if m else next(it)
-                               for l, m in zip(leaves, f0)])
-                return live, rebuild
 
             for b in reversed(range(max_bounces)):
-                def run_vjp(live, b=b, rebuild=None):
-                    _, vjp_fn = jax.vjp(
-                        lambda pv, st: step(pv, st, b), pvec, states[b])
-                    d_pv, d_st = vjp_fn(rebuild(live))
-                    st_live, _ = _strip_f0(d_st)
-                    return d_pv, st_live
-
-                if b == 0 or not early_exit:
-                    _, vjp_fn = jax.vjp(
-                        lambda pv, st: step(pv, st, b), pvec, states[b])
-                    d_pv, d_state = vjp_fn(d_state)
-                else:
-                    # all-dead tiles skip the re-linearization+transpose:
-                    # the true pullback of a fully-masked bounce is the
-                    # identity on the radiance cotangent and zero on params
-                    live, rebuild = _strip_f0(d_state)
-                    d_pv, st_live = jax.lax.cond(
-                        jnp.any(states[b].alive),
-                        partial(run_vjp, b=b, rebuild=rebuild),
-                        lambda lv: (dvec_acc * 0.0, tuple(lv)), live)
-                    d_state = rebuild(st_live)
+                _, vjp_fn = jax.vjp(
+                    lambda pv, st, b=b: step(pv, st, b), pvec, states[b])
+                d_pv, d_state = vjp_fn(d_state)
                 dvec_acc = dvec_acc + d_pv
             # camera-ray generation also depends on params (eye/basis)
             _, vjp_rays = jax.vjp(init_state, pvec)
@@ -327,8 +278,6 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
             return dacc + one_sample_grad(params_vec, s)
 
         dvec0 = jnp.zeros((n_leaves,), jnp.float32)
-        if vma is not None:
-            dvec0 = jax.lax.pcast(dvec0, tuple(vma), to="varying")
         if spp == 1:
             # no sample loop: keeps the CPU (interpret/eager) test path free
             # of staged control flow, whose XLA CPU compile is pathological
@@ -401,27 +350,33 @@ def _fast_bwd(static, height, width, spp, max_bounces, res, g):
 render_image_fast.defvjp(_fast_fwd, _fast_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def render_tile_fast(packed, seed, sample0, row0, static, rows, width, spp,
-                     image_height, max_bounces, vma=None):
+                     image_height, max_bounces, vma=None, interpret=None):
     """Sharded-tile entry: the spp-SUM of a `rows`×`width` block whose global
     first row is `row0`, inside an image `image_height` tall — forward and
     backward both Pallas megakernels.  `seed`/`sample0`/`row0` are traceable
-    (device-varying under shard_map); cotangents are float0."""
+    (device-varying under shard_map); cotangents are float0.
+
+    `interpret`: force/deny the Pallas interpreter — callers sharding over a
+    mesh must pass the MESH devices' platform decision (the default keys on
+    `jax.default_backend()`, which is wrong when a CPU mesh coexists with a
+    TPU default backend)."""
     return render_block_pallas(packed, static, rows, width, spp, seed,
                                sample0, max_bounces, row0=row0,
-                               image_height=image_height, vma=vma)
+                               image_height=image_height, vma=vma,
+                               interpret=interpret)
 
 
 def _tile_fwd(packed, seed, sample0, row0, static, rows, width, spp,
-              image_height, max_bounces, vma=None):
+              image_height, max_bounces, vma=None, interpret=None):
     out = render_tile_fast(packed, seed, sample0, row0, static, rows, width,
-                           spp, image_height, max_bounces, vma)
+                           spp, image_height, max_bounces, vma, interpret)
     return out, (packed, seed, sample0, row0)
 
 
 def _tile_bwd(static, rows, width, spp, image_height, max_bounces, vma,
-              res, g):
+              interpret, res, g):
     import numpy as _np
     from jax import dtypes as _dtypes
 
@@ -429,7 +384,7 @@ def _tile_bwd(static, rows, width, spp, image_height, max_bounces, vma,
     dpacked = render_grad_block_pallas(packed, static, g, rows, width, spp,
                                        seed, sample0, max_bounces,
                                        row0=row0, image_height=image_height,
-                                       vma=vma)
+                                       vma=vma, interpret=interpret)
     f0 = lambda v: _np.zeros(jnp.shape(v), _dtypes.float0)
     return (dpacked, f0(seed), f0(sample0), f0(row0))
 

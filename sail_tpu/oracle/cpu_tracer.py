@@ -471,6 +471,36 @@ def sample_geometry(obj, u1, u2):
         n = _norm(_cross(ex, ey)) * (-1.0 if obj.reverse_normal else 1.0)
         pdf = np.full(u1.shape, 1.0 / max(np.linalg.norm(ex) * np.linalg.norm(ey), 1e-12))
         return p, np.broadcast_to(n, p.shape).copy(), pdf
+    if obj.category == C.CUBE:
+        # mirrors ops/lights._sample_geometry CUBE: area-weighted face pick
+        # from u1 (rescaled within the face), point from (u1', u2)
+        bmin = np.asarray(obj.min, float)
+        bmax = np.asarray(obj.max, float)
+        ext = bmax - bmin
+        ax, ay, az = ext[1] * ext[2], ext[0] * ext[2], ext[0] * ext[1]
+        area = 2 * (ax + ay + az)
+        r = u1 * area
+        cums = [ax, 2 * ax, 2 * ax + ay, 2 * (ax + ay), 2 * (ax + ay) + az]
+        face = sum((r >= c).astype(int) for c in cums)
+        lo = np.array([0, ax, 2 * ax, 2 * ax + ay, 2 * (ax + ay),
+                       2 * (ax + ay) + az])
+        fa = np.array([ax, ax, ay, ay, az, az])
+        u1p = np.clip((r - lo[face]) / np.maximum(fa[face], 1e-12), 0, 1)
+        on_x = face < 2
+        on_y = (face >= 2) & (face < 4)
+        hi = (face % 2) == 1
+        hi01 = np.where(hi, 1.0, 0.0)
+        fx = np.where(on_x, hi01, u1p)
+        fy = np.where(on_x, u1p, np.where(on_y, hi01, u2))
+        fz = np.where(on_x, u2, np.where(on_y, u2, hi01))
+        p = bmin + ext * np.stack([fx, fy, fz], axis=-1)
+        sgn = np.where(hi, 1.0, -1.0)
+        zero = np.zeros_like(sgn)
+        n = np.stack([np.where(on_x, sgn, zero), np.where(on_y, sgn, zero),
+                      np.where(on_x | on_y, zero, sgn)], -1)
+        n = n * (-1.0 if obj.reverse_normal else 1.0)
+        pdf = np.full(u1.shape, 1.0 / max(area, 1e-12))
+        return p, n, pdf
     raise NotImplementedError(f"oracle: area light geometry {obj.category}")
 
 

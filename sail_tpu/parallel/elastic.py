@@ -90,15 +90,42 @@ class ElasticRenderer:
         self.events: list[dict] = []       # observability: what failed when
         self._chunk_index = 0
 
-    def _shrink_mesh(self, reason: str):
+    def _fit_mesh(self, chunk_n: int):
+        """Build a mesh over the current devices whose axes divide the work:
+        chunk_n % spp_axis == 0 and height % tile_axis == 0.  Falls back to
+        spp_axis=1 (any chunk size shards over rows), then halves the device
+        count until the tile axis divides the image height — without this,
+        a retried chunk after a shrink can hit render_sharded's divisibility
+        asserts in exactly the device-loss scenario elastic recovery exists
+        to survive (ADVICE r2)."""
+        devices = list(self.devices)
+        while devices:
+            mesh = make_mesh(devices=devices)
+            if (chunk_n % mesh.shape["spp"] == 0
+                    and self.height % mesh.shape["tile"] == 0):
+                self.devices = devices
+                self.mesh = mesh
+                return
+            mesh = make_mesh(devices=devices, spp_axis=1)
+            if self.height % mesh.shape["tile"] == 0:
+                self.devices = devices
+                self.mesh = mesh
+                self.events.append({"event": "mesh_reshape",
+                                    "reason": "spp_remainder"})
+                return
+            devices = devices[:len(devices) // 2]
+        raise DeviceFailure(
+            f"no device subset fits height={self.height}")
+
+    def _shrink_mesh(self, reason: str, chunk_n: int):
         healthy = probe_devices(self.devices, self.faulty)
         if not healthy:
             raise DeviceFailure("no healthy devices left")
         n = _largest_pow2_leq(len(healthy))
         self.devices = healthy[:n]
-        self.mesh = make_mesh(devices=self.devices)
+        self._fit_mesh(chunk_n)
         self.events.append({"event": "mesh_shrink", "reason": reason,
-                            "devices": n})
+                            "devices": len(self.devices)})
 
     def render(self, spp: int, seed: int = 0, chunk_spp: int = None) -> Vec3:
         """Mean image over `spp` samples, elastically.  Bit-identical to
@@ -110,22 +137,22 @@ class ElasticRenderer:
         done = 0
         while done < spp:
             n = min(chunk_spp, spp - done)
-            if n % self.mesh.shape["spp"]:
-                # chunk doesn't divide over the spp axis: fall back to a
-                # tile-only mesh (any chunk size shards over rows)
-                self.mesh = make_mesh(devices=self.devices, spp_axis=1)
-                self.events.append({"event": "mesh_reshape",
-                                    "reason": "spp_remainder"})
+            if (n % self.mesh.shape["spp"]
+                    or self.height % self.mesh.shape["tile"]):
+                self._fit_mesh(n)
             retries = 0
             while True:
                 try:
                     if self.fault_hook is not None:
                         self.fault_hook(self._chunk_index)
+                    # raw spp-SUM per chunk: summing sums and dividing once
+                    # at the end is bit-identical to one big render for ANY
+                    # chunk size (mean·n only round-trips for pow2 n)
                     out = render_sharded(
                         self.packed, self.static, self.mesh, self.height,
                         self.width, n, seed=seed,
                         max_bounces=self.max_bounces,
-                        sample0=done)
+                        sample0=done, return_sum=True)
                     out = jax.tree.map(np.asarray, out)
                     break
                 except DeviceFailure as e:
@@ -135,7 +162,7 @@ class ElasticRenderer:
                     self.events.append({"event": "chunk_failed",
                                         "chunk": self._chunk_index,
                                         "error": str(e)})
-                    self._shrink_mesh(str(e))
+                    self._shrink_mesh(str(e), n)
                 except RuntimeError as e:  # real device loss (XLA/runtime)
                     retries += 1
                     if retries > self.max_retries:
@@ -143,9 +170,8 @@ class ElasticRenderer:
                     self.events.append({"event": "chunk_failed",
                                         "chunk": self._chunk_index,
                                         "error": type(e).__name__})
-                    self._shrink_mesh(type(e).__name__)
+                    self._shrink_mesh(type(e).__name__, n)
             self._chunk_index += 1
-            acc = Vec3(acc.x + out.x * n, acc.y + out.y * n,
-                       acc.z + out.z * n)
+            acc = Vec3(acc.x + out.x, acc.y + out.y, acc.z + out.z)
             done += n
         return acc * (1.0 / spp)

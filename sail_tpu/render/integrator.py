@@ -159,13 +159,17 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
     (`jax.checkpoint` around the bounce body) — peak residual memory drops
     from all-bounces to one bounce; identical primal values.
 
-    `early_exit`: skip a whole bounce when EVERY lane in this batch is dead
-    (one any-reduce + lax.cond per bounce).  Bit-identical results — dead
-    lanes contribute exactly zero — but whole-batch-dead only pays off when
-    the batch is a small tile (the Pallas megakernel's 8-row blocks): the
-    measured upper bound for any compaction scheme on the closed benchmark
-    scenes is 1.18-1.24x, while open scenes (escaped rays die in coherent
-    sky regions) reach 3x (docs/OCCUPANCY.md).
+    `early_exit` (opt-in, default False): skip a whole bounce when EVERY
+    lane in this batch is dead (one any-reduce + lax.cond per bounce).
+    Mathematically exact — dead lanes contribute exactly zero — but NOT
+    bit-identical: wrapping the bounce in lax.cond changes XLA/Mosaic
+    fusion and float codegen by a few ulp even when the branch is always
+    taken (measured 2.7e-7 max abs on 8x8 closed scenes), so results match
+    the masked loop to allclose, not bitwise.  Whole-batch-dead only pays
+    off when the batch is a small tile (the Pallas megakernel's 8-row
+    blocks): the measured upper bound for any compaction scheme on the
+    closed benchmark scenes is 1.18-1.24x, while open scenes (escaped rays
+    die in coherent sky regions) reach 3x (docs/OCCUPANCY.md).
     """
     shape = jnp.broadcast_shapes(ro.shape, rd.shape)
     ro = ro.broadcast_to(shape)

@@ -17,9 +17,13 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+from .. import constants as C
 from ..core.camera import CameraParams, make_camera
 from .geometry import Object3D
 from .light import AreaLight, Light
+
+# Shape categories ops/lights._sample_geometry can draw area samples from.
+_AREA_SAMPLEABLE = (C.SPHERE, C.RECTANGLE, C.DISK, C.CUBE)
 
 VALID_FILTERS = ("color", "gamma", "tonemapping", "normal", "position",
                  "box", "triangle", "gaussian", "mitchell", "sinc", "wavelet")
@@ -112,6 +116,15 @@ class Scene:
             self.objects.append(something)
         elif isinstance(something, Light):
             if isinstance(something, AreaLight):
+                if something.geometry.category not in _AREA_SAMPLEABLE:
+                    # Fail loudly at ADD time, not deep inside a traced
+                    # render: the reference ships stub sample functions for
+                    # these shapes that silently return garbage
+                    # (ref: src/shader/shape/cone.glsl:101, cylinder.glsl:92)
+                    raise ValueError(
+                        f"AreaLight geometry "
+                        f"{type(something.geometry).__name__} has no area "
+                        f"sampler; supported: Sphere, Rectangle, Disk, Cube")
                 something.index = len(self.objects)
                 self.objects.append(something.geometry)
             self.lights.append(something)

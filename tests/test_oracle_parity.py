@@ -78,6 +78,34 @@ def test_material_demo_small():
     run_parity(scenes.material_demo(), 10, 10, bounces=3, atol=5e-3, rtol=5e-3)
 
 
+def test_cube_area_light():
+    """AreaLight(Cube(...)): the per-face cube area sampler
+    (ops/lights._sample_geometry CUBE) against its independent oracle twin
+    (the reference only stubs this: ref shape/cube.glsl:50)."""
+    from sail_tpu import AreaLight, Camera, Cornellbox, Cube, Matte, Sphere
+    from sail_tpu.scene.scene import Scene
+
+    scene = Scene()
+    scene.add(Camera((0.0, 0.0, -2.5), (0.0, 0.0, 0.0)))
+    scene.add(Cornellbox((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)))
+    scene.add(Sphere((0.0, -0.6, 0.0), 0.4, Matte(kd=1.0)))
+    scene.add(AreaLight(Cube((-0.3, 0.8, -0.2), (0.3, 0.95, 0.2), Matte()),
+                        (5.0, 5.0, 5.0)))
+    img = run_parity(scene, 12, 12, bounces=2)
+    assert img.mean() > 0.01
+
+
+def test_area_light_unsupported_geometry_rejected():
+    """Scene.add fails loudly for AreaLight geometries without an area
+    sampler (instead of a NotImplementedError mid-trace, VERDICT r2 #2)."""
+    from sail_tpu import AreaLight, Cone, Matte
+    from sail_tpu.scene.scene import Scene
+
+    scene = Scene()
+    with pytest.raises(ValueError, match="no area sampler"):
+        scene.add(AreaLight(Cone((0, 0, 0), 1.0, 0.5, Matte()), (1, 1, 1)))
+
+
 def test_lights_and_quadrics_small():
     """Config 4: cone/cylinder/disk/paraboloid + point/spot/area lights at
     full 16x16 x 3 bounces, default (tight) tolerances — the quadric

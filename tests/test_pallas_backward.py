@@ -9,6 +9,7 @@ while TPU compiles are fine — full-depth parity runs on-chip (bench.py).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sail_tpu import scenes
 from sail_tpu.core.vecmath import Vec3
@@ -56,13 +57,17 @@ def test_pallas_backward_multi_tile_accumulation():
                                    rtol=1e-5, atol=1e-5)
 
 
-def test_backward_early_exit_open_scene():
-    """Multi-bounce grads on an OPEN scene: sky tiles go fully dead after
-    bounce 0, driving the backward kernel through its lax.cond skip path
-    (docs/OCCUPANCY.md); gradients must still match interior AD exactly."""
+@pytest.mark.slow
+def test_backward_open_scene():
+    """Multi-bounce grads on an OPEN scene: sky lanes die after bounce 0
+    and the masked adjoint must keep their cotangents at exactly zero
+    (grads match interior AD; finite everywhere).  The round-2 lax.cond
+    early-exit variant of this path produced NaNs and was removed —
+    this pins the one remaining (masked) code path.  Marked slow: the
+    interpret-mode in-kernel adjoint at 2 bounces costs minutes on CPU."""
     packed, static = scenes.material_demo_open().pack()
     h = w = 4
-    bounces = 3
+    bounces = 2
 
     def loss(p):
         res = render_sample(p, static, h, w, 0, 0, max_bounces=bounces)

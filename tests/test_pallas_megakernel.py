@@ -43,15 +43,28 @@ def test_megakernel_custom_vjp_grads():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
-def test_early_exit_bit_identical():
-    """trace_rays(early_exit=True) skips all-dead bounces via lax.cond —
-    results must be BIT-identical to the masked full-depth loop, on both an
-    open scene (lanes actually die) and a closed one (cond always taken)."""
+def test_early_exit_default_off_and_allclose():
+    """early_exit is OPT-IN (default False keeps the production kernels
+    bit-equal to the XLA integrator).  When enabled, skipping all-dead
+    bounces via lax.cond is mathematically exact but not bitwise: the cond
+    perturbs XLA fusion by a few ulp even on always-taken branches — so the
+    contract is tight allclose, on both an open scene (lanes actually die)
+    and a closed one (cond always taken)."""
+    import inspect
+
     import jax.numpy as jnp
 
     from sail_tpu.core import rng
     from sail_tpu.core.camera import rays_for_pixels
+    from sail_tpu.ops.pallas import megakernel as mk
     from sail_tpu.render.integrator import trace_rays
+
+    # the production entry points must default to the bit-exact masked loop
+    # (the backward kernel has no early-exit at all — see megakernel.py)
+    for fn in (trace_rays, mk.render_block_pallas, mk._trace_tile):
+        assert inspect.signature(fn).parameters["early_exit"].default is False
+    assert "early_exit" not in inspect.signature(
+        mk.render_grad_block_pallas).parameters
 
     for scene_fn in (scenes.material_demo_open, scenes.cornell_mirror):
         packed, static = scene_fn().pack()
@@ -65,4 +78,5 @@ def test_early_exit_bit_identical():
         a = trace_rays(packed, static, ro, rd, noise, 4, early_exit=False)
         b = trace_rays(packed, static, ro, rd, noise, 4, early_exit=True)
         for x, y in zip(jax.tree.leaves(a.color), jax.tree.leaves(b.color)):
-            assert (np.asarray(x) == np.asarray(y)).all()
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-5)

@@ -49,6 +49,7 @@ def test_mesh_layout_invariance(setup):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_grad_matches_single(setup):
     _, packed, static = setup
     mesh8 = make_mesh(8, spp_axis=2)
@@ -69,6 +70,7 @@ def test_sharded_grad_matches_single(setup):
                                    atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_decreases_loss(setup):
     scene, packed, static = setup
     mesh = make_mesh(8, spp_axis=2)
@@ -104,6 +106,7 @@ def test_sharded_train_step_decreases_loss(setup):
     assert float(params.materials[0].kd) > 0.45
 
 
+@pytest.mark.slow
 def test_pallas_sharded_path_matches_xla(monkeypatch):
     """The TPU production path routes each device's tile through the Pallas
     megakernels (forward + backward).  Forced on here (CPU interpret) at
@@ -126,7 +129,7 @@ def test_pallas_sharded_path_matches_xla(monkeypatch):
     g_xla = jax.grad(lambda p: rs.sharded_loss(
         p, tgt, static, mesh, h, w, spp, 3, bounces))(packed)
 
-    monkeypatch.setattr(rs, "_use_pallas", lambda: True)
+    monkeypatch.setattr(rs, "_use_pallas", lambda mesh: True)
     img_pal = rs.render_sharded(packed, static, mesh, h, w, spp, seed=9,
                                 max_bounces=bounces)
     for a, b in zip(jax.tree.leaves(tgt), jax.tree.leaves(img_pal)):
