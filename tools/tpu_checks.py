@@ -68,7 +68,10 @@ def main():
         return jnp.mean(res.x + res.y + res.z)
 
     g_xla = jax.jit(jax.grad(loss_xla))(packed)
-    gv = Vec3(*(jnp.full((gh, gw), 1.0 / (gh * gw * 3.0)),) * 3)
+    # loss = mean over PIXELS of (x+y+z): the per-channel adjoint is
+    # 1/(gh*gw) — NOT 1/(gh*gw*3); with the wrong scale every leaf of the
+    # (linear-in-g) Pallas backward comes out exactly 1/3 of XLA's
+    gv = Vec3(*(jnp.full((gh, gw), 1.0 / (gh * gw)),) * 3)
     g_pal = jax.jit(lambda p: render_grad_block_pallas(
         p, static, gv, gh, gw, 1, 0, 0, max_bounces=bounces))(packed)
     xa = np.array([float(x) for x in jax.tree.leaves(g_xla)])
