@@ -600,8 +600,14 @@ def intersect_scene(objects: tuple, static, ro: Vec3, rd: Vec3,
     Categories with < BATCH_THRESHOLD objects use the static unrolled fold
     (one fused kernel chain per object, bit-stable — the reference-scale
     path).  Larger categories switch to the batched fori_loop fold so
-    compile time stays flat in object count; `cull` (default: on iff any
-    group is batched) adds the per-object AABB tile cull there."""
+    compile time stays flat in object count.
+
+    `cull` (default OFF) adds the per-object AABB cull to batched groups:
+    a lax.cond skips an object when no lane in the current batch can hit
+    its bound box.  Opt-in because it only pays when the evaluation batch
+    is a small tile AND objects are spatially localized; on whole-image
+    XLA evaluation the any-reduce is always true and the cond just costs
+    (measured 1.7x slower at 512^2/64 spheres, MANYOBJ_r03.json)."""
     shape = jnp.broadcast_shapes(ro.shape, rd.shape)
     ro = ro.broadcast_to(shape)
     rd = rd.broadcast_to(shape)
@@ -620,7 +626,7 @@ def intersect_scene(objects: tuple, static, ro: Vec3, rd: Vec3,
     batched_cats = [c for c, v in groups.items()
                     if len(v) >= BATCH_THRESHOLD]
     if cull is None:
-        cull = bool(batched_cats)
+        cull = False
     # unbatched objects fold in EXACT scene order (bit-stable vs the
     # committed goldens); batched groups fold after, in first-seen order
     for i, cat in enumerate(static.object_categories):
@@ -649,7 +655,7 @@ def occluded(objects: tuple, static, ro: Vec3, rd: Vec3, max_t) -> jax.Array:
     parameterized there on the unnormalized segment instead).  Large
     same-category groups fold via fori_loop like intersect_scene (the
     shadow pass is the second full intersect scan — it must scale the same
-    way); occlusion is carried as int32 for Mosaic-safe lax.cond chains."""
+    way); occlusion is carried as int32 inside the loop (Mosaic-safe)."""
     shape = jnp.broadcast_shapes(ro.shape, rd.shape)
     ro = ro.broadcast_to(shape)
     rd = rd.broadcast_to(shape)
@@ -669,17 +675,9 @@ def occluded(objects: tuple, static, ro: Vec3, rd: Vec3, max_t) -> jax.Array:
 
         def body(k, occ32, cat=cat, stacked=stacked):
             pk = jax.tree.map(lambda a: a[k], stacked)
-
-            def do(o):
-                h = SHAPE_FNS[cat](ro, rd, pk, detail=False)
-                return o | ((h.t > C.EPSILON) & (h.t < max_t)).astype(
-                    jnp.int32)
-
-            amin, amax = object_aabb(cat, pk)
-            tn, tf = _slab(ro, rd, amin, amax)
-            possible = jnp.any((tn < tf) & (tf > C.EPSILON) &
-                               (tn < max_t) & (occ32 == 0))
-            return jax.lax.cond(possible, do, lambda o: o, occ32)
+            h = SHAPE_FNS[cat](ro, rd, pk, detail=False)
+            return occ32 | ((h.t > C.EPSILON) & (h.t < max_t)).astype(
+                jnp.int32)
 
         occ32 = jax.lax.fori_loop(0, len(idxs), body,
                                   occ.astype(jnp.int32))

@@ -68,15 +68,23 @@ def main():
         scene = build_scene(n)
         packed, static = scene.pack()
         row = {"n_spheres": n}
-        for mode in ("unrolled", "batched"):
+        for mode in ("unrolled", "batched", "batched_cull"):
             isect.BATCH_THRESHOLD = 10 ** 9 if mode == "unrolled" else 8
             if mode == "unrolled" and n > 64:
                 row[mode] = None  # unrolled compile explodes; skip
                 continue
+            cull = mode == "batched_cull"
 
-            def impl(p, seed):
-                img = render_image(p, static, h, w, args.spp, seed=seed,
-                                   max_bounces=args.bounces)
+            def impl(p, seed, cull=cull):
+                from functools import partial
+                import sail_tpu.ops.intersect as _i
+                orig = _i.intersect_scene
+                _i.intersect_scene = partial(orig, cull=cull) if cull else orig
+                try:
+                    img = render_image(p, static, h, w, args.spp, seed=seed,
+                                       max_bounces=args.bounces)
+                finally:
+                    _i.intersect_scene = orig
                 return img.x.sum() + img.y.sum() + img.z.sum()
 
             t0 = time.perf_counter()

@@ -46,6 +46,7 @@ def main():
     ]
 
     h = w = args.size
+    results = {}
     for name, scene in configs:
         packed, static = scene.pack()
         alive_acc = jnp.zeros((args.bounces,))
@@ -79,6 +80,20 @@ def main():
               f"weak%={['%.1f' % (100*v) for v in weak]} "
               f"perfect-compaction speedup bound={bound:.3f}x "
               f"(+RR: {bound_rr:.3f}x)")
+        results[name] = {
+            "alive_pct": [round(100 * v, 1) for v in alive],
+            "weak_pct": [round(100 * v, 1) for v in weak],
+            "perfect_compaction_bound": round(bound, 3),
+            "with_rr_bound": round(bound_rr, 3),
+        }
+
+    import json
+    print(json.dumps({
+        "metric": "per-bounce ray occupancy / compaction bound",
+        "config": f"{h}x{w} x{args.spp}spp x{args.bounces}b",
+        "device": str(jax.devices()[0]),
+        "scenes": results,
+    }))
 
 
 if __name__ == "__main__":
