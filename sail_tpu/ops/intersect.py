@@ -460,7 +460,13 @@ def object_aabb(cat: int, p):
     bound-box cull (ref: src/shader/shape/boundbox.glsl:6-16 culls each
     shape the same way).  Comparison-only — never differentiated."""
     if cat in (C.CUBE, C.RECTANGLE, C.CORNELLBOX):
-        return p.bmin, p.bmax
+        # Pad so degenerate (zero-thickness) axes survive the strict slab
+        # test: an axis-aligned RECTANGLE (e.g. a flat ceiling light) has
+        # bmin == bmax on one axis, for which tn == tf on every ray that
+        # hits the plane and a strict tn < tf cull would silently drop the
+        # object (ADVICE r3).  The DISK case below pads for the same reason.
+        pad = Vec3(*([1e-4 * jnp.ones_like(p.bmin.x)] * 3))
+        return p.bmin - pad, p.bmax + pad
     if cat == C.SPHERE:
         r = p.radius
         return p.center - Vec3(r, r, r), p.center + Vec3(r, r, r)

@@ -146,8 +146,12 @@ class ElasticRenderer:
                     if self.fault_hook is not None:
                         self.fault_hook(self._chunk_index)
                     # raw spp-SUM per chunk: summing sums and dividing once
-                    # at the end is bit-identical to one big render for ANY
-                    # chunk size (mean·n only round-trips for pow2 n)
+                    # at the end is bit-identical to one big render when
+                    # every chunk divides over the spp axis the same way the
+                    # reference render does (the tested pow2 chunk sizes);
+                    # a chunk that forces the _fit_mesh spp_axis=1 fallback
+                    # reassociates the float sum and identity degrades to
+                    # allclose-level reassociation error (ADVICE r3)
                     out = render_sharded(
                         self.packed, self.static, self.mesh, self.height,
                         self.width, n, seed=seed,

