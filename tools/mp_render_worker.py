@@ -83,14 +83,24 @@ def main():
     }
 
     if args.bench_iters:
+        import jax.numpy as jnp
+
+        # seed must be a TRACED argument: a Python-int seed bakes into the
+        # trace as a constant and every new seed recompiles the whole
+        # shard_map graph — the r3-era harness measured CPU compile time
+        # (~10 s/iter at 64^2), not rendering.
+        @jax.jit
+        def render_seeded(packed, seed):
+            return render_sharded(packed, static, mesh, h, w, args.spp,
+                                  seed=seed, max_bounces=args.bounces)
+
         def run(seed):
-            out = render_sharded(packed, static, mesh, h, w, args.spp,
-                                 seed=seed, max_bounces=args.bounces)
+            out = render_seeded(packed, jnp.int32(seed))
             # readback barrier (local shards only)
             return float(np.asarray(
                 out.x.addressable_shards[0].data).sum())
 
-        run(1)  # warm
+        run(1)  # warm (the one compile)
         multihost_utils.sync_global_devices("bench_start")
         t0 = time.perf_counter()
         for i in range(args.bench_iters):

@@ -31,14 +31,24 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def run_group(n_procs, local_devices, size, spp, bounces, iters):
+def run_group(n_procs, local_devices, size, spp, bounces, iters,
+              pin_cpus=True):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    ncpu = os.cpu_count() or 1
     procs = []
     for pid in range(n_procs):
+        # Pin each emulated host to ONE core: without this, the 1-process
+        # baseline's XLA CPU threadpool spans every core while each of the
+        # N processes gets 1/N of the machine — the "efficiency" would then
+        # measure core oversubscription, not communication overhead.  On
+        # real multi-host TPU each host has its own chips; equal-resources-
+        # per-process is the honest emulation.
+        prefix = (["taskset", "-c", str(pid % ncpu)]
+                  if pin_cpus and n_procs <= ncpu else [])
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER,
+            prefix + [sys.executable, WORKER,
              "--process-id", str(pid), "--num-processes", str(n_procs),
              "--coordinator", f"127.0.0.1:{port}",
              "--local-devices", str(local_devices),
