@@ -52,6 +52,12 @@ GRAD_MODE = "remat"
 GRAD_TILE_ROWS = 8
 GRAD_TILE_COLS = {"store": 256, "remat": 256}
 
+# Samples traced per fori_loop iteration (independent chains interleaved
+# for ILP — see _trace_tile docstring).  Bit-identical for any value;
+# defaults picked by the r4 on-chip sweep (PROFILE_r04.json unroll).
+FWD_SPP_UNROLL = 1
+BWD_SPP_UNROLL = 1
+
 
 def _flatten_scene(packed):
     leaves, treedef = jax.tree.flatten(packed)
@@ -60,10 +66,19 @@ def _flatten_scene(packed):
 
 
 def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
-                max_bounces, early_exit=False):
+                max_bounces, early_exit=False, spp_unroll=1):
     """Accumulate `spp` samples for one tile — shared by the kernel body and
-    (for parity testing) the interpreter path."""
-    from ...render.integrator import trace_rays
+    (for parity testing) the interpreter path.
+
+    `spp_unroll`: samples traced per fori_loop iteration.  The integrator's
+    per-sample chain is dependency-latency-bound on the VPU (removing the
+    entire NEE+shadow subgraph leaves kernel time unchanged —
+    PROFILE_r04.json phases), so interleaving >1 INDEPENDENT sample chains
+    gives the scheduler parallel work to hide latencies with.  The
+    accumulator is still folded strictly in sample order
+    ((acc + f(2k)) + f(2k+1) associates exactly like the sequential loop),
+    so results stay BIT-IDENTICAL to spp_unroll=1 and to the XLA
+    integrator."""
 
     def one(s, acc):
         noise = PixelNoise(seed, sample0 + s, ii, jj)
@@ -77,21 +92,33 @@ def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
         # fusion/codegen by a few ulp even on always-taken branches
         # (docs/OCCUPANCY.md).  Default OFF so the production kernels stay
         # bit-equal to the XLA integrator (tools/tpu_checks.py check 1).
+        from ...render.integrator import trace_rays
         res = trace_rays(pk, static, ro, rd, noise, max_bounces,
                          early_exit=early_exit)
         return acc + res.color
 
+    while spp % spp_unroll:
+        spp_unroll = max(spp_unroll // 2, 1)
     zero = jnp.zeros(ii.shape, jnp.float32)
-    # fori_loop (not Python unroll): one traced trace body regardless of spp,
-    # keeping Mosaic compile time flat.
-    return jax.lax.fori_loop(0, spp, one, Vec3(zero, zero, zero))
+
+    def body(k, acc):
+        base = k * spp_unroll
+        for u in range(spp_unroll):
+            acc = one(base + u, acc)
+        return acc
+
+    # fori_loop (not full Python unroll): one traced body per spp_unroll
+    # samples regardless of spp, keeping Mosaic compile time flat.
+    return jax.lax.fori_loop(0, spp // spp_unroll, body,
+                             Vec3(zero, zero, zero))
 
 
 def render_block_pallas(packed, static, height: int, width: int, spp: int,
                         seed, sample0, max_bounces: int = C.MAX_BOUNCES,
                         tile_rows: int = 8, tile_cols: int = None,
                         interpret=None, row0=0, image_height: int = None,
-                        vma=None, early_exit: bool = False) -> Vec3:
+                        vma=None, early_exit: bool = False,
+                        spp_unroll: int = None) -> Vec3:
     """Forward render of an H×W block via the Pallas megakernel.
 
     Returns the SUM of `spp` sample passes (divide by spp for the mean).
@@ -100,12 +127,15 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
     image, the block's global first row and the full image height — RNG
     streams and camera rays then match the single-chip render exactly.
 
-    `tile_cols` (default: full width): column-tile the grid like the
+    `tile_cols` (default: min(512, width)): column-tile the grid like the
     backward kernel.  Pixel values are bit-identical for any tile shape
-    (lanes never interact); the tile shape only decides how coarse the
-    opt-in `early_exit` granularity is — full-width 8-row tiles span sky
-    AND geometry on open scenes and never go all-dead (VERDICT r3 missing
-    #4 measured 1.22x of a 3.05x bound), while 8×256 tiles can die."""
+    (lanes never interact).  The r4 on-chip sweep (PROFILE_r04.json
+    tiles_fwd) measured 8x512/8x256 ~7% faster than the r1-r3 full-width
+    8x1024 tiles (0.1296-0.1298 s vs 0.1404 s at 1024^2x64spp), hence the
+    512 default; the tile shape also sets the opt-in `early_exit`
+    granularity — full-width tiles span sky AND geometry on open scenes
+    and never go all-dead (VERDICT r3 missing #4: 1.22x of a 3.05x
+    bound), while narrower tiles can die."""
     if interpret is None:
         # Mosaic only lowers for TPU; fall back to the interpreter on CPU
         # (tests / virtual-device meshes).
@@ -117,7 +147,7 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
             break
     assert height % tile_rows == 0, (height, tile_rows)
     if tile_cols is None:
-        tile_cols = width
+        tile_cols = min(512, width)
     while width % tile_cols:
         tile_cols = max(tile_cols // 2, 1)
         if tile_cols == 1:
@@ -142,7 +172,9 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
               jax.lax.broadcasted_iota(jnp.int32, shape, 1))
         acc = _trace_tile(pk, static, ii, jj, image_height, width,
                           seed_ref[0], sample_ref[0],
-                          spp, max_bounces, early_exit=early_exit)
+                          spp, max_bounces, early_exit=early_exit,
+                          spp_unroll=(FWD_SPP_UNROLL if spp_unroll is None
+                                      else spp_unroll))
         out_x[:] = acc.x
         out_y[:] = acc.y
         out_z[:] = acc.z
@@ -177,7 +209,7 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                              tile_rows: int = None, tile_cols: int = None,
                              interpret=None, row0=0,
                              image_height: int = None, vma=None,
-                             mode: str = None):
+                             mode: str = None, spp_unroll: int = None):
     """Backward Pallas megakernel: dL/d(packed) for L = Σ_pixels g · image_sum
     where image_sum is the spp-SUM the forward kernel produces.
 
@@ -347,8 +379,18 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
             (d_pv0,) = vjp_rays(d_state)
             return dvec_acc + d_pv0
 
-        def body(s, dacc):
-            return dacc + one_sample_grad(params_vec, s)
+        unroll = BWD_SPP_UNROLL if spp_unroll is None else spp_unroll
+        while spp % unroll:
+            unroll = max(unroll // 2, 1)
+
+        def body(k, dacc):
+            # >1 independent sample adjoints per iteration for ILP (see
+            # _trace_tile): accumulation stays strictly sample-ordered, so
+            # gradients are bit-identical for any unroll.
+            base = k * unroll
+            for u in range(unroll):
+                dacc = dacc + one_sample_grad(params_vec, base + u)
+            return dacc
 
         dvec0 = jnp.zeros((n_leaves,), jnp.float32)
         if spp == 1:
@@ -356,7 +398,7 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
             # of staged control flow, whose XLA CPU compile is pathological
             dvec = one_sample_grad(params_vec, 0)
         else:
-            dvec = jax.lax.fori_loop(0, spp, body, dvec0)
+            dvec = jax.lax.fori_loop(0, spp // unroll, body, dvec0)
 
         @pl.when((ti == 0) & (tj == 0))
         def _():

@@ -87,6 +87,55 @@ def main():
             "with_rr_bound": round(bound_rr, 3),
         }
 
+        # ---- TILE-level bound: what the megakernel's per-tile bounce
+        # early-exit could capture at best.  A tile does bounce b+1's work
+        # iff ANY of its lanes is alive after bounce b — so the achievable
+        # speedup is bounded by tile coherence, far below the per-lane
+        # oracle (dead lanes inside a live tile still ride along).  This is
+        # the honest ceiling for the implemented early_exit
+        # (PROFILE_r04.json open_scene measures what it actually captures).
+        from sail_tpu.render.integrator import _PathState, _bounce_step
+        from sail_tpu.core.vecmath import Vec3
+
+        @jax.jit
+        def alive_masks(packed, s):
+            ii = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None],
+                                  (h, w))
+            jj = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                                  (h, w))
+            noise = rng.pixel_noise(0, s, ii=ii, jj=jj)
+            jx, jy, _ = noise.uniform3(0, rng.TAG_PIXEL_JITTER)
+            ro, rd = rays_for_pixels(packed.camera, ii.astype(jnp.float32),
+                                     jj.astype(jnp.float32), h, w, jx, jy)
+            zero = jnp.zeros((h, w), jnp.float32)
+            black = Vec3(zero, zero, zero)
+            ones = Vec3(zero + 1.0, zero + 1.0, zero + 1.0)
+            st = _PathState(ro, rd, black, ones, jnp.ones((h, w), bool),
+                            jnp.zeros((h, w), bool), black, black)
+            masks = []
+            for b in range(args.bounces):
+                st = _bounce_step(packed, st, noise, static=static,
+                                  bounce=b, clamp_weight=True)
+                masks.append(st.alive)
+            return jnp.stack(masks)
+
+        import numpy as np
+        masks_np = [np.asarray(alive_masks(packed, s))
+                    for s in range(args.spp)]  # spp x (bounces, h, w)
+        tile_bounds = {}
+        for tc in (128, 256, 512):
+            tcc = min(tc, w)
+            useful_t = [1.0]
+            for b in range(args.bounces - 1):
+                acc = 0.0
+                for m in masks_np:
+                    tiles = m[b].reshape(h // 8, 8, w // tcc, tcc)
+                    acc += float(tiles.any(axis=(1, 3)).mean())
+                useful_t.append(acc / args.spp)
+            tile_bounds[f"8x{tcc}"] = round(args.bounces / sum(useful_t), 3)
+        results[name]["tile_early_exit_bounds"] = tile_bounds
+        print(f"  tile-level early-exit bounds: {tile_bounds}")
+
     import json
     print(json.dumps({
         "metric": "per-bounce ray occupancy / compaction bound",

@@ -518,8 +518,8 @@ def vpu_peak_section(iters=5):
 
     def run_kernel(body_ops, ops_per_elem_per_iter):
         def kernel(out_ref):
-            a = jax.lax.broadcasted_iota(
-                jnp.float32, (R, Cn), 1) * 1e-3 + 1.0
+            a = (jax.lax.broadcasted_iota(jnp.int32, (R, Cn), 1)
+                 .astype(jnp.float32) * 1e-3 + 1.0)
             b = a * 0.5 + 0.25
 
             def body(i, ab):
@@ -631,6 +631,50 @@ def tiles_bwd2_section(size=1024, spp=64, bounces=5, iters=3,
     return out
 
 
+def unroll_section(size=1024, spp=64, bounces=5, iters=3, budget_left=None):
+    """spp-unroll sweep: independent sample chains interleaved per loop
+    iteration (ILP against the latency-bound phase finding)."""
+    from sail_tpu import scenes
+    from sail_tpu.core.vecmath import Vec3
+    from sail_tpu.ops.pallas.megakernel import (render_block_pallas,
+                                                render_grad_block_pallas)
+
+    packed, static = scenes.cornell_mirror().pack()
+    H = W = size
+    out = {}
+    for un in (1, 2, 4):
+        if budget_left is not None and budget_left() < 400:
+            break
+        def impl(p, seed, un=un):
+            img = render_block_pallas(p, static, H, W, spp, seed, 0,
+                                      max_bounces=bounces, tile_rows=8,
+                                      tile_cols=512, spp_unroll=un)
+            return img.x.sum() + img.y.sum() + img.z.sum()
+        try:
+            out[f"fwd_8x512_u{un}"] = round(
+                _time_compiled(impl, packed, iters), 4)
+        except Exception as e:  # pragma: no cover
+            out[f"fwd_8x512_u{un}"] = f"error: {type(e).__name__}"
+
+    g1 = jnp.full((H, W), 1.0 / (H * W), jnp.float32)
+    g = Vec3(g1, g1, g1)
+    for un in (2,):
+        if budget_left is not None and budget_left() < 500:
+            break
+        def gimpl(p, seed, un=un):
+            dp = render_grad_block_pallas(p, static, g, H, W, spp, seed, 0,
+                                          max_bounces=bounces, tile_rows=8,
+                                          tile_cols=256, mode="remat",
+                                          spp_unroll=un)
+            return sum(jnp.sum(l) for l in jax.tree.leaves(dp))
+        try:
+            out[f"bwd_remat_8x256_u{un}"] = round(
+                _time_compiled(gimpl, packed, iters), 4)
+        except Exception as e:  # pragma: no cover
+            out[f"bwd_remat_8x256_u{un}"] = f"error: {type(e).__name__}"
+    return out
+
+
 def open_scene_section(size=512, spp=32, bounces=5, iters=3,
                        budget_left=None):
     from sail_tpu import scenes
@@ -691,6 +735,8 @@ def main():
         "tiles_bwd2": lambda: tiles_bwd2_section(iters=args.iters,
                                                  budget_left=budget_left),
         "vpu_peak": vpu_peak_section,
+        "unroll": lambda: unroll_section(iters=args.iters,
+                                         budget_left=budget_left),
         "open_scene": lambda: open_scene_section(iters=args.iters,
                                                  budget_left=budget_left),
     }
