@@ -21,10 +21,12 @@ only derivable figure is the implied 15.7 Mpaths/s upper bound at 512²·60fps
 ·5 bounces ≈ 94 Mrays/s under the same convention.  vs_baseline reports our
 Mrays/s against that derived bound.
 
-MFU accounting (docs/PERF.md): FLOPs are counted by XLA cost analysis on the
-XLA integrator twin (identical math to the Pallas kernels, whose Mosaic
-custom-calls cost analysis cannot see into) and divided by the documented
-v5e VPU f32 peak (utils/metrics.py).
+Roofline accounting (docs/PERF.md): per-ray VPU ops are HAND-COUNTED from
+the traced jaxpr (utils/opcount.py) — XLA cost analysis counts fori_loop
+bodies once regardless of trip count (measured, PROFILE_r04.json
+cost_recon) and was ~spp x too low in r1-r3.  `detail.vpu_ops` reports the
+counts and the achieved op rate; docs/PERF.md compares against the
+MEASURED VPU peak (tools/profile_megakernel.py vpu_peak microbench).
 """
 import json
 import os
@@ -52,7 +54,6 @@ def _left():
 def main():
     from sail_tpu import scenes
     from sail_tpu.render.integrator import render_image
-    from sail_tpu.utils import metrics
 
     height = width = 1024
     spp = 64   # large spp per dispatch amortizes the ~30ms relay latency
@@ -84,10 +85,20 @@ def main():
         g = jax.grad(loss)(p)
         return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(g))
 
+    # Raised scoped-VMEM limit: Mosaic's 16 MB default stack bound forces
+    # conservative scheduling in the backward megakernel; 64 MB measured
+    # ~2.4% faster (docs/PERF.md part-3 sweep).  Fall back to a default
+    # compile if the per-compile option is rejected.
+    VMEM_OPTS = {"xla_tpu_scoped_vmem_limit_kib": 65536}
+
     def compile_fn(fn):
         """AOT-compile so XLA cost analysis (FLOP counts) rides the same
         compile the timing uses."""
-        compiled = jax.jit(fn).lower(packed, 0).compile()
+        lowered = jax.jit(fn).lower(packed, 0)
+        try:
+            compiled = lowered.compile(compiler_options=VMEM_OPTS)
+        except Exception:
+            compiled = lowered.compile()
         try:
             ca = compiled.cost_analysis()
             if isinstance(ca, (list, tuple)):
@@ -108,7 +119,21 @@ def main():
 
     # ---- headline: the two Pallas compiles only --------------------------
     fwd, _ = compile_fn(fwd_impl)                 # Mosaic: opaque to XLA
-    fwdbwd, _ = compile_fn(fwdbwd_impl)
+    # Backward at 8x512 tiles: the r4 sweep's best (0.3433 s vs 0.3515 at
+    # the 8x256 library default) — but 8x512 only compiles under the raised
+    # scoped-VMEM limit, so fall back to the safe default tiling if the
+    # option-compile fails (docs/PERF.md §5).
+    from sail_tpu.ops.pallas import megakernel as _mk
+    _saved_cols = dict(_mk.GRAD_TILE_COLS)
+    try:
+        _mk.GRAD_TILE_COLS["remat"] = 512
+        fwdbwd = jax.jit(fwdbwd_impl).lower(packed, 0).compile(
+            compiler_options=VMEM_OPTS)
+    except Exception:
+        _mk.GRAD_TILE_COLS.update(_saved_cols)
+        fwdbwd, _ = compile_fn(fwdbwd_impl)
+    finally:
+        _mk.GRAD_TILE_COLS.update(_saved_cols)
     for f in (fwd, fwdbwd):
         float(f(packed, 0))  # warm the relay path once
     t_fwd = time_it(fwd)
@@ -144,7 +169,6 @@ def main():
 
     # ---- extras (XLA twins for MFU, open-scene early-exit) ---------------
     detail = result["detail"]
-    detail["mfu"] = None
     detail["open_scene"] = None
     detail["extras_budget_s"] = BUDGET_S
 
@@ -161,18 +185,33 @@ def main():
         g = jax.grad(loss_xla)(p)
         return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(g))
 
+    # ---- roofline accounting: hand-counted jaxpr ops, NOT cost analysis.
+    # XLA's cost_analysis counts fori_loop bodies once regardless of trip
+    # count (measured: flops(spp8)/flops(spp1)=1.36, PROFILE_r04.json
+    # cost_recon), which made the r1-r3 "flops_per_ray" ~spp x too low.
+    try:
+        from sail_tpu.utils.opcount import integrator_ops_per_lane
+        w_ops, raw_ops = integrator_ops_per_lane(packed, static, bounces)
+        lane_samples = height * width * spp
+        detail["vpu_ops"] = {
+            "raw_ops_per_lane_sample": round(raw_ops, 1),
+            "weighted_ops_per_lane_sample": round(w_ops, 1),
+            "achieved_raw_tops_per_s": round(
+                raw_ops * lane_samples / t_fwd / 1e12, 3),
+            "note": "hand-counted from the traced jaxpr (utils/opcount); "
+                    "raw = 1 op per elementwise primitive pre-XLA-opt; "
+                    "see docs/PERF.md for the measured VPU peak and the "
+                    "speed-of-light comparison",
+        }
+    except Exception as e:  # pragma: no cover
+        detail["vpu_ops"] = repr(e)
+
     try:
         if _left() > 60:
             fwd_xla, flops_fwd = compile_fn(fwd_xla_impl)
             float(fwd_xla(packed, 0))
             t_fwd_xla = time_it(fwd_xla)
             detail["fwd_xla_mrays_per_s"] = round(rays / t_fwd_xla / 1e6, 2)
-            detail["mfu"] = {
-                "flops_per_ray": round(flops_fwd / rays, 1),
-                "fwd_tflops": round(flops_fwd / t_fwd / 1e12, 3),
-                "fwd_vpu_mfu": round(metrics.mfu(flops_fwd, t_fwd), 4),
-                "peak_assumption": "v5e VPU f32 FMA peak 7.7e12 FLOP/s",
-            }
         if _left() > 120:
             fwdbwd_xla, flops_fwdbwd = compile_fn(fwdbwd_xla_impl)
             float(fwdbwd_xla(packed, 0))
@@ -180,11 +219,6 @@ def main():
             detail["fwdbwd_xla_mrays_per_s"] = round(
                 rays / t_fwdbwd_xla / 1e6, 2)
             detail["fwdbwd_xla_s"] = round(t_fwdbwd_xla, 4)
-            if detail["mfu"]:
-                detail["mfu"]["fwdbwd_tflops"] = round(
-                    flops_fwdbwd / t_fwdbwd / 1e12, 3)
-                detail["mfu"]["fwdbwd_vpu_mfu"] = round(
-                    metrics.mfu(flops_fwdbwd, t_fwdbwd), 4)
     except Exception as e:  # pragma: no cover
         detail["xla_twin_error"] = repr(e)
 

@@ -127,15 +127,15 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
     image, the block's global first row and the full image height — RNG
     streams and camera rays then match the single-chip render exactly.
 
-    `tile_cols` (default: min(512, width)): column-tile the grid like the
+    `tile_cols` (default: min(256, width)): column-tile the grid like the
     backward kernel.  Pixel values are bit-identical for any tile shape
-    (lanes never interact).  The r4 on-chip sweep (PROFILE_r04.json
-    tiles_fwd) measured 8x512/8x256 ~7% faster than the r1-r3 full-width
-    8x1024 tiles (0.1296-0.1298 s vs 0.1404 s at 1024^2x64spp), hence the
-    512 default; the tile shape also sets the opt-in `early_exit`
-    granularity — full-width tiles span sky AND geometry on open scenes
-    and never go all-dead (VERDICT r3 missing #4: 1.22x of a 3.05x
-    bound), while narrower tiles can die."""
+    (lanes never interact).  The r4 on-chip sweeps (PROFILE_r04.json
+    tiles_fwd, /tmp-part3 recorded in docs/PERF.md) measured 8x256 ~8%
+    faster than the r1-r3 full-width 8x1024 tiles (0.1286 s vs 0.1404 s
+    at 1024^2x64spp), hence the 256 default; the tile shape also sets the
+    opt-in `early_exit` granularity — full-width tiles span sky AND
+    geometry on open scenes and never go all-dead (VERDICT r3 missing #4:
+    1.22x of a 3.05x per-lane bound), while narrower tiles can die."""
     if interpret is None:
         # Mosaic only lowers for TPU; fall back to the interpreter on CPU
         # (tests / virtual-device meshes).
@@ -147,7 +147,7 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
             break
     assert height % tile_rows == 0, (height, tile_rows)
     if tile_cols is None:
-        tile_cols = min(512, width)
+        tile_cols = min(256, width)
     while width % tile_cols:
         tile_cols = max(tile_cols // 2, 1)
         if tile_cols == 1:

@@ -108,3 +108,40 @@ def test_rng_layout_invariance_of_tiles():
     tile = rng.PixelNoise(full.seed, full.sample, ii, jj)
     tu, _, _ = tile.uniform3(1, rng.TAG_BSDF)
     np.testing.assert_array_equal(np.asarray(fu)[8:16], np.asarray(tu))
+
+
+def test_opcount_integrator():
+    """The jaxpr op counter (utils/opcount) behind bench.py's
+    detail.vpu_ops: counts are positive, weighted >= raw, and every
+    primitive in the flagship integrator trace is in the cost table
+    (an unknown primitive would silently distort the roofline)."""
+    import jax
+
+    from sail_tpu import scenes
+    from sail_tpu.utils import opcount
+
+    packed, static = scenes.cornell_mirror().pack()
+    w, raw = opcount.integrator_ops_per_lane(packed, static, 2)
+    assert raw > 500            # two bounces of real work
+    assert w >= raw
+    # direct check for unknowns on the same trace
+    import jax.numpy as jnp
+
+    from sail_tpu.core import rng as rng_mod
+    from sail_tpu.core.camera import rays_for_pixels
+    from sail_tpu.core.rng import PixelNoise
+    from sail_tpu.render.integrator import trace_rays
+
+    ii = jnp.zeros((8, 128), jnp.int32)
+    jj = jnp.zeros((8, 128), jnp.int32)
+
+    def one(pk):
+        noise = PixelNoise(jnp.int32(0), jnp.int32(0), ii, jj)
+        jx, jy, _ = noise.uniform3(0, rng_mod.TAG_PIXEL_JITTER)
+        ro, rd = rays_for_pixels(pk.camera, ii.astype(jnp.float32),
+                                 jj.astype(jnp.float32), 8, 128, jx, jy)
+        return trace_rays(pk, static, ro, rd, noise, 2).color.stack()
+
+    unknown = {}
+    opcount.count_jaxpr(jax.make_jaxpr(one)(packed), unknown=unknown)
+    assert unknown == {}, unknown

@@ -47,26 +47,49 @@ def main():
 
     h = w = args.size
     results = {}
+    import numpy as np
+
+    from sail_tpu.core.vecmath import Vec3
+    from sail_tpu.render.integrator import _PathState, _bounce_step
+
     for name, scene in configs:
         packed, static = scene.pack()
-        alive_acc = jnp.zeros((args.bounces,))
-        weak_acc = jnp.zeros((args.bounces,))
 
-        @jax.jit
-        def sample_fracs(packed, s):
-            ii = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w))
-            jj = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
+        # EAGER (no jit): a jitted variant of this loop — whether it
+        # returns fractions or stacked masks — cold-compiles for 10-70 min
+        # per scene on XLA CPU at 256^2 (measured r4), while eager runs in
+        # ~a minute per scene.  Occupancy is an offline study; eager wins.
+        def sample_masks(packed, s, weak_threshold=1e-2):
+            ii = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None],
+                                  (h, w))
+            jj = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                                  (h, w))
             noise = rng.pixel_noise(0, s, ii=ii, jj=jj)
             jx, jy, _ = noise.uniform3(0, rng.TAG_PIXEL_JITTER)
             ro, rd = rays_for_pixels(packed.camera, ii.astype(jnp.float32),
                                      jj.astype(jnp.float32), h, w, jx, jy)
-            return alive_fractions(packed, static, ro, rd, noise,
-                                   max_bounces=args.bounces)
+            zero = jnp.zeros((h, w), jnp.float32)
+            black = Vec3(zero, zero, zero)
+            ones = Vec3(zero + 1.0, zero + 1.0, zero + 1.0)
+            st = _PathState(ro, rd, black, ones, jnp.ones((h, w), bool),
+                            jnp.zeros((h, w), bool), black, black)
+            am, wm = [], []
+            for b in range(args.bounces):
+                st = _bounce_step(packed, st, noise, static=static,
+                                  bounce=b, clamp_weight=True)
+                am.append(np.asarray(st.alive))
+                tp = np.asarray(st.throughput.max_component())
+                wm.append(am[-1] & (tp < weak_threshold))
+            return np.stack(am), np.stack(wm)
 
+        masks_np = []
+        alive_acc = np.zeros((args.bounces,))
+        weak_acc = np.zeros((args.bounces,))
         for s in range(args.spp):
-            a, wk = sample_fracs(packed, s)
-            alive_acc = alive_acc + a
-            weak_acc = weak_acc + wk
+            am, wm = sample_masks(packed, s)
+            masks_np.append(am)
+            alive_acc += am.mean(axis=(1, 2))
+            weak_acc += wm.mean(axis=(1, 2))
         alive = [float(v) / args.spp for v in alive_acc]
         weak = [float(v) / args.spp for v in weak_acc]
         # lanes doing useful work at bounce b = alive after bounce b-1
@@ -94,34 +117,6 @@ def main():
         # oracle (dead lanes inside a live tile still ride along).  This is
         # the honest ceiling for the implemented early_exit
         # (PROFILE_r04.json open_scene measures what it actually captures).
-        from sail_tpu.render.integrator import _PathState, _bounce_step
-        from sail_tpu.core.vecmath import Vec3
-
-        @jax.jit
-        def alive_masks(packed, s):
-            ii = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None],
-                                  (h, w))
-            jj = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
-                                  (h, w))
-            noise = rng.pixel_noise(0, s, ii=ii, jj=jj)
-            jx, jy, _ = noise.uniform3(0, rng.TAG_PIXEL_JITTER)
-            ro, rd = rays_for_pixels(packed.camera, ii.astype(jnp.float32),
-                                     jj.astype(jnp.float32), h, w, jx, jy)
-            zero = jnp.zeros((h, w), jnp.float32)
-            black = Vec3(zero, zero, zero)
-            ones = Vec3(zero + 1.0, zero + 1.0, zero + 1.0)
-            st = _PathState(ro, rd, black, ones, jnp.ones((h, w), bool),
-                            jnp.zeros((h, w), bool), black, black)
-            masks = []
-            for b in range(args.bounces):
-                st = _bounce_step(packed, st, noise, static=static,
-                                  bounce=b, clamp_weight=True)
-                masks.append(st.alive)
-            return jnp.stack(masks)
-
-        import numpy as np
-        masks_np = [np.asarray(alive_masks(packed, s))
-                    for s in range(args.spp)]  # spp x (bounces, h, w)
         tile_bounds = {}
         for tc in (128, 256, 512):
             tcc = min(tc, w)
