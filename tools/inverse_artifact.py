@@ -87,7 +87,14 @@ def main():
             print(f"step {i:3d} loss {l:.6g} ({times[-1]:.2f}s)", flush=True)
 
     def trainable(k):
-        if ".materials" in k or ".lights" in k:
+        # Matte kd is FROZEN: emission x kd is a gauge freedom (only the
+        # product is observable on matte surfaces), so training both lets
+        # the optimizer land on an equivalent non-true pair — measured in
+        # the first r4 run: emission 3.51 with kd risen to compensate,
+        # loss still 86x down.  Freezing kd makes the emitter identifiable.
+        if ".lights" in k:
+            return True
+        if ".materials" in k and ".kr" in k:
             return True
         # the matte sphere's center: objects tuple index 2
         return ".objects" in k and "[2]" in k and ".center" in k
@@ -102,7 +109,14 @@ def main():
     rec = result.params
     table = {
         "mirror_kr": {"true": true_kr, "perturbed": 0.45,
-                      "recovered": round(float(rec.materials[1].kr), 4)},
+                      "recovered": round(float(rec.materials[1].kr), 4),
+                      "recovered_effective": round(
+                          min(float(rec.materials[1].kr), 1.0), 4),
+                      "note": "the renderer clips the specular weight at "
+                              "1 (energy conservation), so every kr >= 1 "
+                              "is image-equivalent and gradient-flat: "
+                              "recovery is exact up to that equivalence "
+                              "class"},
         "lamp_emission": {"true": true_em, "perturbed": 3.0,
                           "recovered": round(float(rec.lights[0].emission.x),
                                              4)},
