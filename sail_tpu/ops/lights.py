@@ -104,10 +104,59 @@ def _sample_geometry(cat: int, params, u1, u2, shape):
                  jnp.where(on_x | on_y, zero, sgn)) * params.reverse
         pdf = jnp.broadcast_to(1.0 / jnp.maximum(area, 1e-12), shape)
         return p, n, pdf
+    if cat in (C.CONE, C.CYLINDER, C.PARABOLOID, C.HYPERBOLOID):
+        # Lateral surface of a z-revolution shape ρ = f(z): sample (φ, z)
+        # UNIFORM IN PARAMETER SPACE and divide by the exact area-element
+        # Jacobian |∂p/∂φ × ∂p/∂z| = ρ·√(1+ρ'²) — an unbiased area pdf
+        # without needing the (shape-specific) inverse-CDF of the area
+        # measure.  The reference ships stub samplers for these shapes
+        # that silently return garbage (cone.glsl:101, cylinder.glsl:92);
+        # this replaces the r1-r3 Scene.add rejection with real sampling.
+        two_pi = 2.0 * jnp.pi
+        phi = two_pi * u1
+        if cat == C.CONE:
+            zmin = jnp.zeros_like(params.h)
+            zmax = params.h
+            z = zmin + (zmax - zmin) * u2
+            rho = params.r * (1.0 - z / jnp.maximum(params.h, 1e-9))
+            drho = -params.r / jnp.maximum(params.h, 1e-9) + 0.0 * z
+        elif cat == C.CYLINDER:
+            zmin = jnp.zeros_like(params.h)
+            zmax = params.h
+            z = zmin + (zmax - zmin) * u2
+            rho = params.r + 0.0 * z
+            drho = 0.0 * z
+        elif cat == C.PARABOLOID:
+            zmin = jnp.minimum(params.z0, params.z1)
+            zmax = jnp.maximum(params.z0, params.z1)
+            k = zmax / jnp.maximum(params.r * params.r, 1e-12)
+            z = zmin + (zmax - zmin) * u2
+            rho = jnp.sqrt(jnp.maximum(z / jnp.maximum(k, 1e-12), 1e-12))
+            drho = 1.0 / jnp.maximum(2.0 * k * rho, 1e-9)
+        else:  # HYPERBOLOID: ah(x²+y²) − ch z² = 1
+            zmin = jnp.minimum(params.p1.z, params.p2.z)
+            zmax = jnp.maximum(params.p1.z, params.p2.z)
+            z = zmin + (zmax - zmin) * u2
+            rho = jnp.sqrt(jnp.maximum(
+                (1.0 + params.ch * z * z) / jnp.maximum(params.ah, 1e-12),
+                1e-12))
+            drho = params.ch * z / jnp.maximum(params.ah * rho, 1e-9)
+        cos_p = jnp.cos(phi)
+        sin_p = jnp.sin(phi)
+        local = Vec3(rho * cos_p, rho * sin_p, z)
+        n_local = Vec3(cos_p, sin_p, -drho).normalize()
+        p = isect.from_object(local) + params.p
+        n = isect.from_object(n_local) * params.reverse
+        jac = rho * jnp.sqrt(1.0 + drho * drho)
+        pdf = 1.0 / jnp.maximum(
+            two_pi * (zmax - zmin) * jac, 1e-12)
+        return (p.broadcast_to(shape) if p.shape != shape else p,
+                n.broadcast_to(shape) if n.shape != shape else n,
+                jnp.broadcast_to(pdf, shape))
     raise NotImplementedError(
         f"area-light sampling for shape category {cat} is not supported "
-        "(Scene.add rejects such AreaLights; the reference stubs them: "
-        "shape/{cone,cylinder,...}.glsl sample*)")
+        "(every packable geometry now has a sampler; this is unreachable "
+        "from Scene.add)")
 
 
 def sample_direct(objects: tuple, lights: tuple, static, hit_p: Vec3, hit_n: Vec3,
