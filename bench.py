@@ -233,8 +233,12 @@ def main():
 
             def open_fwd(early):
                 def impl(p, seed):
+                    # 8x128 tiles: the early-exit sweet spot for open
+                    # scenes (finer tiles die more often; r4 measured
+                    # 1.49x vs 1.27x at 8x256 — PROFILE/OCCUPANCY docs)
                     img = render_block_pallas(p, ostatic, oh, ow, ospp, seed,
                                               0, max_bounces=bounces,
+                                              tile_cols=128,
                                               early_exit=early)
                     return img.x.sum() + img.y.sum() + img.z.sum()
                 c = jax.jit(impl).lower(opacked, 0).compile()

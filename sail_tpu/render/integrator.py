@@ -65,14 +65,25 @@ def _bounce_step(scene, state: _PathState, noise: PixelNoise, *, static,
     """One bounce: intersect → shade → NEE → continue.  Pure function of
     (scene, state) so it can be rematerialized per-bounce
     (`jax.checkpoint`) in memory-tight backward passes."""
+    hit = isect.intersect_scene(scene.objects, static, state.ro, state.rd)
+    alive = state.alive & hit.valid
+    return _bounce_shade(scene, state, hit, alive, noise, static=static,
+                         bounce=bounce, clamp_weight=clamp_weight,
+                         rand_override=rand_override)
+
+
+def _bounce_shade(scene, state: _PathState, hit, alive, noise: PixelNoise,
+                  *, static, bounce: int, clamp_weight: bool,
+                  rand_override=None) -> _PathState:
+    """Shade + NEE + path continuation for an already-intersected bounce —
+    the post-intersect tail of `_bounce_step`, split out so the early-exit
+    path can cond-skip it when NO lane in the batch hit anything (exact:
+    miss lanes contribute zero radiance and are dead afterwards)."""
     ro, rd = state.ro, state.rd
     shape = ro.shape
     zero = jnp.zeros(shape, jnp.float32)
     black = Vec3(zero, zero, zero)
     n_lights = len(scene.lights)
-
-    hit = isect.intersect_scene(scene.objects, static, ro, rd)
-    alive = state.alive & hit.valid
 
     g_normal = hit.n if bounce == 0 else state.g_normal
     g_position = hit.p if bounce == 0 else state.g_position
@@ -183,27 +194,47 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
                        jnp.ones(shape, bool), jnp.zeros(shape, bool),
                        black, black)
 
+    # Masks cross lax.cond as int32: Mosaic cannot legalize chained
+    # scf.ifs that yield freshly-computed i1 vectors (minimal repro: two
+    # conds whose true branch computes a new bool mask fail; int32 masks
+    # chain fine — measured on v5e, 2026-08-20).
+    def _mask_safe(st):
+        return st._replace(alive=st.alive.astype(jnp.int32),
+                           skip_emission=st.skip_emission.astype(jnp.int32))
+
+    def _mask_bool(st):
+        return st._replace(alive=st.alive != 0,
+                           skip_emission=st.skip_emission != 0)
+
     for bounce in range(max_bounces):
         step = lambda s, st, b=bounce: _bounce_step(
             s, st, noise, static=static, bounce=b,
             clamp_weight=clamp_weight, rand_override=rand_override)
         if remat_bounces:
             step = jax.checkpoint(step)
-        if early_exit and bounce > 0:
-            # bounce 0 always runs (primary rays + G-buffer).
-            # Masks cross the cond as int32: Mosaic cannot legalize chained
-            # scf.ifs that yield freshly-computed i1 vectors (minimal repro:
-            # two conds whose true branch computes a new bool mask fail;
-            # int32 masks chain fine — measured on v5e, 2026-08-20).
-            def _mask_safe(st):
-                return st._replace(
-                    alive=st.alive.astype(jnp.int32),
-                    skip_emission=st.skip_emission.astype(jnp.int32))
+        if early_exit and bounce == 0:
+            # bounce 0: primary intersect always runs (it feeds the
+            # G-buffer), but the SHADE tail is cond-skipped when no lane
+            # hit anything — exact (miss lanes add zero and die), and the
+            # main saving on open scenes: sky tiles otherwise pay the full
+            # shade+NEE for every sample (docs/OCCUPANCY.md r4: the
+            # tile-level oracle charges dead tiles only their primary scan).
+            hit = isect.intersect_scene(scene.objects, static,
+                                        state.ro, state.rd)
+            alive0 = state.alive & hit.valid
+            gbuf = state._replace(g_normal=hit.n, g_position=hit.p,
+                                  alive=alive0)
 
-            def _mask_bool(st):
-                return st._replace(alive=st.alive != 0,
-                                   skip_emission=st.skip_emission != 0)
+            def _shade0(st):
+                st = _mask_bool(st)
+                return _mask_safe(_bounce_shade(
+                    scene, st, hit, st.alive, noise, static=static,
+                    bounce=0, clamp_weight=clamp_weight,
+                    rand_override=rand_override))
 
+            state = _mask_bool(jax.lax.cond(
+                jnp.any(alive0), _shade0, lambda st: st, _mask_safe(gbuf)))
+        elif early_exit and bounce > 0:
             state = _mask_bool(jax.lax.cond(
                 jnp.any(state.alive),
                 lambda st: _mask_safe(step(scene, _mask_bool(st))),
