@@ -95,15 +95,20 @@ def test_cube_area_light():
     assert img.mean() > 0.01
 
 
-def test_area_light_unsupported_geometry_rejected():
-    """Scene.add fails loudly for AreaLight geometries without an area
-    sampler (instead of a NotImplementedError mid-trace, VERDICT r2 #2)."""
-    from sail_tpu import AreaLight, Cone, Matte
+def test_area_light_geometry_acceptance():
+    """Scene.add accepts every samplable AreaLight geometry — since r4
+    that includes the quadrics (lateral Jacobian sampler, ops/lights.py) —
+    and still fails loudly for the one without a surface to sample
+    (Cornellbox), instead of a NotImplementedError mid-trace."""
+    from sail_tpu import AreaLight, Cone, Cornellbox, Matte
     from sail_tpu.scene.scene import Scene
 
     scene = Scene()
+    scene.add(AreaLight(Cone((0, 0, 0), 1.0, 0.5, Matte()), (1, 1, 1)))
+    assert len(scene.lights) == 1
+
     with pytest.raises(ValueError, match="no area sampler"):
-        scene.add(AreaLight(Cone((0, 0, 0), 1.0, 0.5, Matte()), (1, 1, 1)))
+        scene.add(AreaLight(Cornellbox((-1, -1, -1), (1, 1, 1)), (1, 1, 1)))
 
 
 def test_lights_and_quadrics_small():
