@@ -277,7 +277,8 @@ def alive_fractions(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
 def render_sample(scene, static, height: int, width: int, seed, sample_idx,
                   max_bounces: int = C.MAX_BOUNCES,
                   jitter: bool = True, row0=None,
-                  image_height: int = None) -> TraceResult:
+                  image_height: int = None,
+                  early_exit: bool = False) -> TraceResult:
     """One 1-spp progressive pass over an image block
     (ref: main/fstrace.glsl + sub-pixel jitter src/core/tracer.js:94-96).
 
@@ -298,7 +299,8 @@ def render_sample(scene, static, height: int, width: int, seed, sample_idx,
         jx = jy = None
     ro, rd = rays_for_pixels(scene.camera, ii.astype(jnp.float32),
                              jj.astype(jnp.float32), image_height, width, jx, jy)
-    return trace_rays(scene, static, ro, rd, noise, max_bounces)
+    return trace_rays(scene, static, ro, rd, noise, max_bounces,
+                      early_exit=early_exit)
 
 
 def render_image(scene, static, height: int, width: int, spp: int, seed=0,

@@ -36,11 +36,15 @@ def _use_megakernel() -> bool:
 
 class Renderer:
     def __init__(self, width: int = 512, height: int = 512, seed: int = 0,
-                 max_bounces: int = C.MAX_BOUNCES):
+                 max_bounces: int = C.MAX_BOUNCES, early_exit: bool = False):
         self.width = width
         self.height = height
         self.max_bounces = max_bounces
         self.seed = seed
+        # opt-in per-tile bounce early-exit for open scenes (exact but not
+        # bit-identical to the masked loop; worth ~1.5x where escaped rays
+        # die in coherent sky tiles -- docs/OCCUPANCY.md r4 calibration)
+        self.early_exit = early_exit
         self._packed = None
         self._static = None
         self._accum: Optional[Vec3] = None
@@ -57,15 +61,16 @@ class Renderer:
         self._sample_fn = jax.jit(partial(
             self._sample_impl, static=self._static, height=self.height,
             width=self.width, max_bounces=self.max_bounces,
-            seed=self.seed))
+            seed=self.seed, early_exit=self.early_exit))
         self.reset()
         scene.sample_count = 0
 
     @staticmethod
     def _sample_impl(packed, sample_idx, *, static, height, width,
-                     max_bounces, seed):
-        return render_sample(packed, static, height, width, seed, sample_idx,
-                             max_bounces=max_bounces)
+                     max_bounces, seed, early_exit=False):
+        res = render_sample(packed, static, height, width, seed, sample_idx,
+                            max_bounces=max_bounces, early_exit=early_exit)
+        return res
 
     def reset(self):
         zero = jnp.zeros((self.height, self.width), jnp.float32)
@@ -111,9 +116,12 @@ class Renderer:
             from ..ops.pallas.megakernel import render_block_pallas
             static, h, w, b, seed = (self._static, self.height, self.width,
                                      self.max_bounces, self.seed)
+            ee = self.early_exit
+            tc = 128 if ee else None   # fine tiles die more often (r4)
             self._batch_fns[spp] = jax.jit(
                 lambda p, s0: render_block_pallas(p, static, h, w, spp, seed,
-                                                  s0, b))
+                                                  s0, b, tile_cols=tc,
+                                                  early_exit=ee))
         acc = self._batch_fns[spp](self._packed,
                                    jnp.int32(self.sample_count))
         self._accum = self._accum + acc
