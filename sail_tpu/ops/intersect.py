@@ -465,7 +465,15 @@ def object_aabb(cat: int, p):
         # bmin == bmax on one axis, for which tn == tf on every ray that
         # hits the plane and a strict tn < tf cull would silently drop the
         # object (ADVICE r3).  The DISK case below pads for the same reason.
-        pad = Vec3(*([1e-4 * jnp.ones_like(p.bmin.x)] * 3))
+        # The pad scales with coordinate magnitude: at |coord| ~ 1e4 the
+        # f32 spacing is ~1e-3, so an absolute 1e-4 pad would round away
+        # and re-expose the degenerate axis (ADVICE r4).
+        mag = jnp.maximum(
+            jnp.maximum(jnp.abs(p.bmin.x), jnp.abs(p.bmax.x)),
+            jnp.maximum(jnp.maximum(jnp.abs(p.bmin.y), jnp.abs(p.bmax.y)),
+                        jnp.maximum(jnp.abs(p.bmin.z), jnp.abs(p.bmax.z))))
+        eps = 1e-4 * (1.0 + mag)
+        pad = Vec3(eps, eps, eps)
         return p.bmin - pad, p.bmax + pad
     if cat == C.SPHERE:
         r = p.radius
@@ -475,8 +483,9 @@ def object_aabb(cat: int, p):
         return (p.p + Vec3(-p.r, 0.0 * p.h, -p.r),
                 p.p + Vec3(p.r, p.h, p.r))
     if cat == C.DISK:
-        return (p.p + Vec3(-p.r, -1e-4 * jnp.ones_like(p.r), -p.r),
-                p.p + Vec3(p.r, 1e-4 * jnp.ones_like(p.r), p.r))
+        eps = 1e-4 * (1.0 + jnp.abs(p.p.y))   # relative pad (see above)
+        return (p.p + Vec3(-p.r, -eps, -p.r),
+                p.p + Vec3(p.r, eps, p.r))
     if cat == C.PARABOLOID:
         zmax = jnp.maximum(p.z0, p.z1)
         zmin = jnp.minimum(jnp.minimum(p.z0, p.z1), 0.0 * p.z0)
@@ -569,9 +578,11 @@ def _batched_fold(cat, idxs, objects, static, ro, rd, shape, carry,
     detail computation (hit point, normal, dpdu, uv, emission facing) runs
     ONCE per group from the selected per-lane parameters — so the
     per-object cost drops from (quadratic + detail) to (quadratic +
-    selects).  Recomputing t/detail from the selected parameters repeats
-    the exact same ops on the exact same values, so results are bit-equal
-    to the detail-in-loop fold.  No gather needed (Mosaic has no 1D
+    selects).  The winner's t comes from the LOOP (t_group), so the
+    nearest-hit merge is exact by construction; the recomputed detail
+    fields (p/n/uv) agree to allclose, not bit-equal — the detail kernel
+    compiles in a different fusion context and may drift a few ulp
+    (ADVICE r4).  No gather needed (Mosaic has no 1D
     gather): the selection rides the same masked-fold pattern as the hits.
     """
     stacked = _stack_group(objects, idxs)
@@ -624,8 +635,14 @@ def _batched_fold(cat, idxs, objects, static, ro, rd, shape, carry,
 
     t_group, aux_g, win = jax.lax.fori_loop(0, len(idxs), body, group0)
 
-    # ONE detail pass from the per-lane winning parameters (bit-equal t).
+    # ONE detail pass from the per-lane winning parameters.  The detail
+    # kernel repeats the same ops on the same values, but it compiles in a
+    # DIFFERENT fusion context than the fori_loop's cheap kernel, so its t
+    # could drift a few ulp (the repo's documented lax.cond codegen effect).
+    # Use the loop's t_group for t/closer so the merge is exact by
+    # construction (ADVICE r4); the detail fields (p/n/uv) come from h.
     h = SHAPE_FNS[cat](ro, rd, win, detail=True)
+    h = h._replace(t=t_group)
     face = (h.ng * win.reverse).dot(rd) < -C.EPSILON
     emission = vm.where(face, win.emission, _zeros_vec(shape))
 

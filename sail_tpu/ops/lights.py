@@ -130,6 +130,12 @@ def _sample_geometry(cat: int, params, u1, u2, shape):
             zmin = jnp.minimum(params.z0, params.z1)
             zmax = jnp.maximum(params.z0, params.z1)
             k = zmax / jnp.maximum(params.r * params.r, 1e-12)
+            # The surface z = k rho^2 only exists where sign(z) == sign(k);
+            # clamp the sampled band to the realizable side, mirroring the
+            # intersect clip (a z0<0 constructor arg with k>0 would
+            # otherwise put samples off-surface near the axis -- ADVICE r4)
+            zmin = jnp.where(k > 0, jnp.maximum(zmin, 0.0), zmin)
+            zmax = jnp.where(k < 0, jnp.minimum(zmax, 0.0), zmax)
             z = zmin + (zmax - zmin) * u2
             rho = jnp.sqrt(jnp.maximum(z / jnp.maximum(k, 1e-12), 1e-12))
             drho = 1.0 / jnp.maximum(2.0 * k * rho, 1e-9)

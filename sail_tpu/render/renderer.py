@@ -42,9 +42,9 @@ class Renderer:
         self.max_bounces = max_bounces
         self.seed = seed
         # opt-in per-tile bounce early-exit for open scenes (exact but not
-        # bit-identical to the masked loop; worth ~1.5x where escaped rays
-        # die in coherent sky tiles -- docs/OCCUPANCY.md r4 calibration)
-        self.early_exit = early_exit
+        # bit-identical to the masked loop; worth ~1.3x where escaped rays
+        # die in coherent sky tiles -- docs/OCCUPANCY.md r4/r5 calibration)
+        self._early_exit = early_exit
         self._packed = None
         self._static = None
         self._accum: Optional[Vec3] = None
@@ -52,12 +52,32 @@ class Renderer:
         self._position: Optional[Vec3] = None
         self.sample_count = 0
         self._sample_fn = None
-        self._batch_fns = {}      # spp -> jitted megakernel batch
+        self._batch_fns = {}      # (spp, early_exit) -> jitted batch
         self._gbuffer_ok = False
+
+    @property
+    def early_exit(self) -> bool:
+        return self._early_exit
+
+    @early_exit.setter
+    def early_exit(self, value: bool):
+        # The flag is baked into the jitted kernels; invalidate the compiled
+        # caches on change so a post-render toggle actually takes effect
+        # (ADVICE r4: stale _sample_fn kept the old setting silently).
+        value = bool(value)
+        if value != self._early_exit:
+            self._early_exit = value
+            if self._sample_fn is not None:
+                self._sample_fn = jax.jit(partial(
+                    self._sample_impl, static=self._static,
+                    height=self.height, width=self.width,
+                    max_bounces=self.max_bounces, seed=self.seed,
+                    early_exit=value))
 
     # -- scene (re)build: the reference's full-GLSL-recompile path ----------
     def update(self, scene: Scene):
         self._packed, self._static = scene.pack()
+        self._batch_fns = {}   # closures capture the old SceneStatic
         self._sample_fn = jax.jit(partial(
             self._sample_impl, static=self._static, height=self.height,
             width=self.width, max_bounces=self.max_bounces,
@@ -112,17 +132,18 @@ class Renderer:
         if scene.moving:
             self._packed, self._static = scene.pack()
             self.reset()
-        if spp not in self._batch_fns:
+        key = (spp, self.early_exit)
+        if key not in self._batch_fns:
             from ..ops.pallas.megakernel import render_block_pallas
             static, h, w, b, seed = (self._static, self.height, self.width,
                                      self.max_bounces, self.seed)
             ee = self.early_exit
             tc = 128 if ee else None   # fine tiles die more often (r4)
-            self._batch_fns[spp] = jax.jit(
+            self._batch_fns[key] = jax.jit(
                 lambda p, s0: render_block_pallas(p, static, h, w, spp, seed,
                                                   s0, b, tile_cols=tc,
                                                   early_exit=ee))
-        acc = self._batch_fns[spp](self._packed,
+        acc = self._batch_fns[key](self._packed,
                                    jnp.int32(self.sample_count))
         self._accum = self._accum + acc
         self._gbuffer_ok = False
