@@ -58,6 +58,41 @@ GRAD_TILE_COLS = {"store": 256, "remat": 256}
 FWD_SPP_UNROLL = 1
 BWD_SPP_UNROLL = 1
 
+# Op-injection roofline probe (tools/profile_megakernel.py op_slope): when
+# >0, every forward sample additionally runs this many iterations of the
+# EXACT `integrator_mix` body the vpu_peak microbench times (fma, max,
+# compare+select, rsqrt — ~10 weighted VPU ops/elem/iter), seeded from the
+# sample's jitter so nothing hoists or folds, and joined into the output
+# through a ~1e-37-scaled term (numerically invisible, not DCE-able).
+# Measuring d(time)/d(iterations) in the REAL kernel and dividing by the
+# microbench's at-peak seconds-per-iteration gives a DIRECT occupancy
+# measurement: ratio ~1 -> no idle ALU slots (kernel at the instruction
+# roofline); ratio << 1 -> the scheduler absorbed the extra work into idle
+# slots, i.e. measurable headroom.  Default 0: production kernels carry
+# zero probe code (Python-level if).
+INJECT_MIX_ITERS = 0
+
+
+def _inject_mix(jx, jy, iters):
+    """The vpu_peak `integrator_mix` body, iterated `iters` times on state
+    seeded from per-sample jitter.  Bounded by construction (rsqrt pulls b
+    into (0,1]); returns a tiny join term.  Op accounting happens in units
+    of mix-ITERATIONS, so no per-op weight convention is needed."""
+    a = jx * 0.5 + 1.0
+    b = jy * 0.25 + 0.5
+
+    def body(i, ab):
+        a, b = ab
+        for _ in range(2):
+            a = a * b + 1.000001
+            m = jnp.maximum(a, b)
+            s = jnp.where(a > b, a, b * 1.000001)
+            b = jax.lax.rsqrt(jnp.abs(m * s) + 1.0)
+        return (a, b)
+
+    a, b = jax.lax.fori_loop(0, iters, body, (a, b))
+    return (a + b) * 1e-37
+
 
 def _flatten_scene(packed):
     leaves, treedef = jax.tree.flatten(packed)
@@ -95,7 +130,11 @@ def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
         from ...render.integrator import trace_rays
         res = trace_rays(pk, static, ro, rd, noise, max_bounces,
                          early_exit=early_exit)
-        return acc + res.color
+        color = res.color
+        if INJECT_MIX_ITERS:   # roofline probe only; 0 in production
+            probe = _inject_mix(jx, jy, INJECT_MIX_ITERS)
+            color = Vec3(color.x + probe, color.y, color.z)
+        return acc + color
 
     while spp % spp_unroll:
         spp_unroll = max(spp_unroll // 2, 1)

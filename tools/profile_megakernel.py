@@ -516,7 +516,7 @@ def vpu_peak_section(iters=5):
     # total elementwise ops ~ G*R*Cn*K*ops/iter ≈ 0.14 s at 4 Tops/s for
     # ops=8 — two orders of magnitude above the ~30 ms relay noise floor
 
-    def run_kernel(body_ops, ops_per_elem_per_iter):
+    def run_kernel(body_ops, ops_per_elem_per_iter, R=R, Cn=Cn, G=G, K=K):
         def kernel(out_ref):
             a = (jax.lax.broadcasted_iota(jnp.int32, (R, Cn), 1)
                  .astype(jnp.float32) * 1e-3 + 1.0)
@@ -553,25 +553,35 @@ def vpu_peak_section(iters=5):
         return a, b
 
     out = {}
+    # Second geometry: the MEGAKERNEL's own (8, 512) tile = 4 f32 vregs
+    # per op — measures the achievable rate at the kernel's actual vreg
+    # count (vreg-level ILP there is 4-8x, not the big block's 128x), so
+    # the op_slope section compares like with like.
+    geoms = {"": dict(R=R, Cn=Cn, G=G, K=K),
+             "_tile8x512": dict(R=8, Cn=512, G=4096, K=1024)}
     for name, body, ops in [("fma", fma_mix, 8),
                             ("integrator_mix", integrator_mix, 10)]:
-        f = jax.jit(lambda body=body, ops=ops: run_kernel(body, ops))
-        float(f())
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
+        for suffix, geom in geoms.items():
+            f = jax.jit(lambda body=body, ops=ops, geom=geom:
+                        run_kernel(body, ops, **geom))
             float(f())
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        t = ts[len(ts) // 2]
-        total_ops = G * R * Cn * K * ops
-        out[name] = {
-            "seconds": round(t, 5),
-            "ops_counted": total_ops,
-            "achieved_tops_per_s": round(total_ops / t / 1e12, 3),
-            "unit": "Tops/s (1 op = 1 elementwise ALU op; a mul-add "
-                    "counts 1 here, 2 under the FLOP convention)",
-        }
+            ts = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                float(f())
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            t = ts[len(ts) // 2]
+            elems_iters = (geom["G"] * geom["R"] * geom["Cn"] * geom["K"])
+            total_ops = elems_iters * ops
+            out[name + suffix] = {
+                "seconds": round(t, 5),
+                "ops_counted": total_ops,
+                "achieved_tops_per_s": round(total_ops / t / 1e12, 3),
+                "s_per_elem_iter": t / elems_iters,
+                "unit": "Tops/s (1 op = 1 elementwise ALU op; a mul-add "
+                        "counts 1 here, 2 under the FLOP convention)",
+            }
     return out
 
 
@@ -598,16 +608,34 @@ def tiles_bwd2_section(size=1024, spp=64, bounces=5, iters=3,
             return sum(jnp.sum(l) for l in jax.tree.leaves(dp))
         return impl
 
+    def time_vmem64(impl, iters):
+        """Compile with the raised scoped-VMEM limit — bench.py's config.
+        The r4 sweep compiled remat tiles WITHOUT it and every 8x512+ case
+        hit Mosaic's 16 MB default stack (JaxRuntimeError), leaving the
+        claimed remat-8x512 number artifact-less (VERDICT r4 weak #1)."""
+        lowered = jax.jit(impl).lower(packed, 0)
+        c = lowered.compile(
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": 65536})
+        float(c(packed, 0))
+        ts = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            float(c(packed, i + 1))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
     for mode, tr, tc in [("remat", 8, 512), ("remat", 16, 256),
                          ("remat", 16, 512), ("remat", 32, 256),
                          ("remat", 8, 1024), ("remat", 16, 128)]:
         if budget_left is not None and budget_left() < 500:
             break
         try:
-            out[f"{mode}_{tr}x{tc}"] = round(
-                _time_compiled(impl_for(mode, tr, tc), packed, iters), 4)
+            out[f"{mode}_{tr}x{tc}_vmem64m"] = round(
+                time_vmem64(impl_for(mode, tr, tc), iters), 4)
         except Exception as e:  # pragma: no cover
-            out[f"{mode}_{tr}x{tc}"] = f"error: {type(e).__name__}"
+            out[f"{mode}_{tr}x{tc}_vmem64m"] = (
+                f"error: {type(e).__name__}: {str(e)[:160]}")
 
     # store with a raised scoped-vmem limit (per-compile XLA option)
     for tr, tc in [(8, 512), (8, 256)]:
@@ -628,6 +656,85 @@ def tiles_bwd2_section(size=1024, spp=64, bounces=5, iters=3,
             out[key] = round(ts[len(ts) // 2], 4)
         except Exception as e:  # pragma: no cover
             out[key] = f"error: {type(e).__name__}: {str(e)[:200]}"
+    return out
+
+
+def op_slope_section(size=1024, spp=64, bounces=5, iters=5,
+                     budget_left=None, peak=None):
+    """POST-OPT roofline proof by op injection (VERDICT r4 next #2).
+
+    The Mosaic layout/optimization passes run server-side behind the axon
+    relay (no dump available), so instead of counting executed instructions
+    statically, MEASURE the kernel's marginal cost of a known op: inject K
+    iterations of the vpu_peak `integrator_mix` body per lane-sample into
+    the production forward megakernel (megakernel.INJECT_MIX_ITERS — joined
+    through a 1e-37 term so nothing folds), time t(K), and fit the slope.
+
+      utilization = peak_s_per_elem_iter / marginal_s_per_elem_iter
+
+    If the kernel is at the VPU instruction roofline, extra ops cost
+    exactly their at-peak time (utilization ~1).  If the scheduler has
+    idle ALU slots (latency/data-movement-bound), injected independent
+    work hides in them and the marginal cost is below at-peak cost
+    (utilization < 1 by the headroom fraction).  This replaces the r4
+    pre-opt upper-bound INFERENCE with a direct measurement, and
+
+      executed_mix_iters_equiv = t(0) / marginal_s_per_elem_iter / lanes
+
+    is an in-situ executed-op count (in mix-iteration units, x10 weighted
+    ops/iter) comparable against the hand-counted pre-opt jaxpr ops.
+    """
+    from sail_tpu import scenes
+    from sail_tpu.ops.pallas import megakernel as mk
+
+    packed, static = scenes.cornell_mirror().pack()
+    H = W = size
+    lanes = H * W * spp
+    ks = [0, 64, 128, 256]
+    out = {"config": f"{size}^2 x {spp}spp x {bounces}b, tile 8x512"}
+    times = {}
+    saved = mk.INJECT_MIX_ITERS
+    try:
+        for k in ks:
+            if budget_left is not None and budget_left() < 500:
+                break
+            mk.INJECT_MIX_ITERS = k
+
+            def impl(p, seed):
+                img = mk.render_block_pallas(p, static, H, W, spp, seed, 0,
+                                             max_bounces=bounces,
+                                             tile_rows=8, tile_cols=512)
+                return img.x.sum() + img.y.sum() + img.z.sum()
+
+            try:
+                times[k] = _time_compiled(impl, packed, iters)
+                out[f"t_inject{k}"] = round(times[k], 4)
+            except Exception as e:  # pragma: no cover
+                out[f"t_inject{k}"] = f"error: {type(e).__name__}"
+    finally:
+        mk.INJECT_MIX_ITERS = saved
+
+    got = sorted(k for k in times)
+    if len(got) >= 2:
+        # least-squares slope of t vs K (seconds per mix-iter-per-lane)
+        kk = np.array(got, float)
+        tt = np.array([times[k] for k in got])
+        slope = float(np.polyfit(kk, tt, 1)[0])
+        marginal = slope / lanes          # s per elem per mix-iter, in situ
+        out["marginal_s_per_elem_iter"] = marginal
+        out["slope_s_per_inject_iter"] = slope
+        if peak:
+            for key in ("integrator_mix_tile8x512", "integrator_mix"):
+                pk = peak.get(key)
+                if isinstance(pk, dict) and "s_per_elem_iter" in pk:
+                    util = pk["s_per_elem_iter"] / max(marginal, 1e-30)
+                    out[f"utilization_vs_{key}"] = round(util, 3)
+        if marginal > 0 and isinstance(times.get(0), float):
+            eq_iters = times[0] / marginal / lanes
+            out["executed_mix_iters_equiv_per_lane_sample"] = round(
+                eq_iters, 1)
+            out["executed_weighted_ops_equiv_per_lane_sample"] = round(
+                eq_iters * 10, 1)
     return out
 
 
@@ -735,6 +842,9 @@ def main():
         "tiles_bwd2": lambda: tiles_bwd2_section(iters=args.iters,
                                                  budget_left=budget_left),
         "vpu_peak": vpu_peak_section,
+        "op_slope": lambda: op_slope_section(
+            budget_left=budget_left,
+            peak=result["sections"].get("vpu_peak")),
         "unroll": lambda: unroll_section(iters=args.iters,
                                          budget_left=budget_left),
         "open_scene": lambda: open_scene_section(iters=args.iters,
