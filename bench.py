@@ -119,8 +119,9 @@ def main():
 
     # ---- headline: the two Pallas compiles only --------------------------
     fwd, _ = compile_fn(fwd_impl)                 # Mosaic: opaque to XLA
-    # Backward at 8x512 tiles: the r4 sweep's best (0.3433 s vs 0.3515 at
-    # the 8x256 library default) — but 8x512 only compiles under the raised
+    # Backward at 8x512 tiles: the sweep's best — 0.3438 s (committed:
+    # PROFILE_r05.json tiles_bwd2 remat_8x512_vmem64m) vs 0.3515 at the
+    # 8x256 library default — but 8x512 only compiles under the raised
     # scoped-VMEM limit, so fall back to the safe default tiling if the
     # option-compile fails (docs/PERF.md §5).
     from sail_tpu.ops.pallas import megakernel as _mk
@@ -226,25 +227,27 @@ def main():
         if _left() > 60:
             # Open-scene early-exit (OPT-IN feature): the megakernel skips
             # all-dead tile bounces (docs/OCCUPANCY.md); measure the win
-            # where it exists.
+            # where it exists.  64 spp + 8x512 tiles (r5): 32-spp dispatches
+            # (~50 ms) sit at the ~30 ms relay noise floor and made the r4
+            # number swing 1.15-1.6x run to run; at 64 spp the measurement
+            # is stable (spread <1%) and 8x512 is best in absolute time —
+            # 1.46-1.52x across tile widths (PROFILE_r05_part2
+            # open_scene_64spp).
             oh = ow = 512
-            ospp = 32
+            ospp = 64
             opacked, ostatic = scenes.material_demo_open().pack()
 
             def open_fwd(early):
                 def impl(p, seed):
-                    # 8x128 tiles: the early-exit sweet spot for open
-                    # scenes (finer tiles die more often; r4 measured
-                    # 1.49x vs 1.27x at 8x256 — PROFILE/OCCUPANCY docs)
                     img = render_block_pallas(p, ostatic, oh, ow, ospp, seed,
                                               0, max_bounces=bounces,
-                                              tile_cols=128,
+                                              tile_cols=512,
                                               early_exit=early)
                     return img.x.sum() + img.y.sum() + img.z.sum()
                 c = jax.jit(impl).lower(opacked, 0).compile()
                 float(c(opacked, 0))
                 ts = []
-                for i in range(5):
+                for i in range(7):
                     t0 = time.perf_counter()
                     float(c(opacked, i))
                     ts.append(time.perf_counter() - t0)
@@ -254,7 +257,7 @@ def main():
             t_open_on = open_fwd(True)
             t_open_off = open_fwd(False)
             detail["open_scene"] = {
-                "scene": "material_demo_open 512^2x32spp",
+                "scene": "material_demo_open 512^2x64spp",
                 "fwd_s_early_exit": round(t_open_on, 4),
                 "fwd_s_no_early_exit": round(t_open_off, 4),
                 "early_exit_speedup": round(t_open_off / t_open_on, 3),

@@ -40,13 +40,16 @@ nothing.  Because every projection runs through the LIVE pk.camera, the
 same terms supply the camera's boundary gradient (eye/basis motion sweeps
 silhouettes across pixels).
 
-One-bounce-deep visibility (r4): sphere silhouettes seen in PLANAR mirrors
-(virtual-sphere tangent circles — `boundary_term` mirror_rect_ids) and NEE
+One-bounce-deep visibility (r4/r5): sphere silhouettes seen in PLANAR
+mirrors (virtual-sphere tangent circles — `boundary_term` mirror_rect_ids)
+AND in CURVED sphere mirrors (per-azimuth Alhazen root solve with
+implicit-function liveness — `_mirror_sphere_silhouette_fn`, r5), plus NEE
 penumbras at receivers reached through one Mirror bounce, planar or curved
-(`shadow_boundary_term` mirror receivers).  Remaining documented gaps:
-silhouettes in CURVED mirrors (Alhazen — the reflected silhouette is no
-longer a circle), and visibility terms deeper than one specular bounce or
-behind diffuse bounces.
+(`shadow_boundary_term` mirror receivers), and (r5) at receivers reached
+through one DIFFUSE bounce (`indirect` receivers: hemisphere-sampled
+secondary receiver points, giving indirect-shadow gradients).  Remaining
+documented gaps: visibility terms ≥2 specular bounces deep, curved-mirror
+silhouettes of non-sphere objects, and glass/refraction chains.
 """
 from __future__ import annotations
 
@@ -449,6 +452,172 @@ def _revolution_curves(static, i: int, n_edge_samples: int):
     return []
 
 
+def _mirror_sphere_silhouette_fn(m_idx: int, s_idx: int):
+    """pts_fn for the silhouette of sphere `s_idx` seen REFLECTED in the
+    curved (sphere) mirror `m_idx` — the Alhazen configuration (VERDICT r4
+    missing #1 / next #4a).  The reflected silhouette is no longer a circle;
+    there is no closed form, so each azimuth sample runs a 1-D root solve:
+
+      1. Alhazen center: bisect the in-plane reflection-alignment function
+         h(ψ) for the mirror point that reflects eye→center-of-S — this
+         anchors the image's angular center a.
+      2. Radial: for each azimuth φ about a, bisect g(β) = (perpendicular
+         distance of the reflected ray from S's center) − r over the view
+         angle β.  g(0) = −r (the center ray reflects through c); the
+         first sign change inside the mirror disk is the reflected
+         tangency.  Azimuths whose bracket leaves the mirror first are
+         masked (that jump belongs to the mirror's OWN rim silhouette,
+         already handled by its direct sphere term — masking avoids double
+         counting).
+
+    Both solves are DETACHED (fixed-iteration bisection on stop-gradient
+    values); differentiability is attached by ONE Newton step from the
+    detached root with the LIVE residual and a detached finite-difference
+    slope:  x_live = x0 − f_live(x0)/f'_d(x0), whose derivative is exactly
+    the implicit-function derivative at the root.  Gradients therefore
+    flow to S (center/radius), the mirror (center/radius), and the camera.
+    The curve points are returned at unit distance from the eye along the
+    discontinuity ray (screen projection only needs the direction).
+    """
+    sg = jax.lax.stop_gradient
+    FD_EPS = 1e-4
+
+    def pts_fn(pk, ts):
+        mp = pk.objects[m_idx]
+        sp = pk.objects[s_idx]
+        e, m, R = pk.camera.eye, mp.center, mp.radius
+        c, r = sp.center, sp.radius
+
+        em = e - m
+        d_em = em.length()
+        u1 = em * (1.0 / jnp.maximum(d_em, 1e-9))
+        cm = c - m
+        pn_raw = u1.cross(cm)
+        pn_len = pn_raw.length()
+        pn = vm.where(pn_len > 1e-7,
+                      pn_raw * (1.0 / jnp.maximum(pn_len, 1e-12)),
+                      vm.ortho(u1).normalize())
+        u2 = pn.cross(u1)
+        u2 = u2 * jnp.where(u2.dot(cm) < 0.0, -1.0, 1.0)
+        pn_d = jax.tree.map(sg, pn)
+
+        def make_h(ev, mv, Rv, cv, u1v, u2v):
+            def h(psi):
+                q = mv + (u1v * jnp.cos(psi) + u2v * jnp.sin(psi)) * Rv
+                d_in = (q - ev).normalize()
+                n_q = (q - mv) * (1.0 / jnp.maximum(Rv, 1e-9))
+                d_r = d_in - n_q * (2.0 * d_in.dot(n_q))
+                cq = (cv - q).normalize()
+                return d_r.cross(cq).dot(pn_d)
+            return h
+
+        detach = lambda x: jax.tree.map(sg, x)
+        h_d = make_h(detach(e), detach(m), sg(R), detach(c),
+                     detach(u1), detach(u2))
+        h_l = make_h(e, m, R, c, u1, u2)
+
+        # --- Alhazen center solve (scalar, detached) --------------------
+        psi_hi = jnp.arccos(jnp.clip(
+            sg(R) / jnp.maximum(sg(d_em), sg(R) + 1e-6), 0.0, 1.0 - 1e-7))
+        NS = 64
+        psis = jnp.linspace(1e-3, 1.0, NS) * (psi_hi - 2e-3) + 1e-3
+        hs = h_d(psis)
+        change = hs[:-1] * hs[1:] <= 0.0
+        found_c = jnp.any(change)
+        idx = jnp.argmax(change)
+        lo0, hi0 = psis[idx], psis[idx + 1]
+
+        def bis_h(i, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            same = h_d(mid) * h_d(lo) > 0.0
+            return (jnp.where(same, mid, lo), jnp.where(same, hi, mid))
+
+        lo0, hi0 = jax.lax.fori_loop(0, 30, bis_h, (lo0, hi0))
+        psi0 = sg(0.5 * (lo0 + hi0))
+        dh = (h_d(psi0 + FD_EPS) - h_d(psi0 - FD_EPS)) / (2.0 * FD_EPS)
+        dh = jnp.where(jnp.abs(dh) < 1e-9,
+                       jnp.where(dh < 0.0, -1e-9, 1e-9), dh)
+        psi_live = psi0 - h_l(psi0) / sg(dh)
+
+        q_c = m + (u1 * jnp.cos(psi_live) + u2 * jnp.sin(psi_live)) * R
+        a = (q_c - e).normalize()
+        e1 = vm.ortho(a).normalize()
+        e2 = a.cross(e1)
+
+        # --- radial solve per azimuth (vectorized over ts) --------------
+        ang = 2.0 * jnp.pi * ts
+        cphi, sphi = jnp.cos(ang), jnp.sin(ang)
+
+        def make_g(ev, mv, Rv, cv, rv, av, e1v, e2v):
+            def g(beta):
+                v = (av * jnp.cos(beta) +
+                     (e1v * cphi + e2v * sphi) * jnp.sin(beta))
+                oc = ev - mv
+                B = oc.dot(v)
+                disc = B * B - (oc.length_sq() - Rv * Rv)
+                t_hit = -B - jnp.sqrt(jnp.maximum(disc, 0.0))
+                hitm = (disc > 0.0) & (t_hit > 1e-6)
+                q = ev + v * t_hit
+                n_q = (q - mv) * (1.0 / jnp.maximum(Rv, 1e-9))
+                d_r = v - n_q * (2.0 * v.dot(n_q))
+                w = cv - q
+                toward = w.dot(d_r) > 0.0
+                dist = w.cross(d_r).length()
+                ok = hitm & toward
+                return jnp.where(ok, dist - rv, 1e3), ok
+            return g
+
+        g_d = make_g(detach(e), detach(m), sg(R), detach(c), sg(r),
+                     detach(a), detach(e1), detach(e2))
+        g_l = make_g(e, m, R, c, r, a, e1, e2)
+
+        beta_max = 2.2 * jnp.arcsin(jnp.clip(
+            sg(R) / jnp.maximum(sg(d_em), sg(R) + 1e-6), 0.0, 1.0))
+        NB = 48
+        frac = (jnp.arange(NB, dtype=jnp.float32) + 1.0) / NB
+        bs = frac[:, None] * beta_max                     # (NB, n_pts)
+        gs, oks = g_d(bs)
+        pos = gs > 0.0
+        found_b = jnp.any(pos, axis=0)
+        bidx = jnp.argmax(pos, axis=0)                    # first positive
+        # the first-positive sample must still be a mirror hit with a
+        # forward reflection, else the bracket crossed the mirror RIM and
+        # the jump belongs to the mirror's own silhouette (mask it)
+        ok_hi = jnp.take_along_axis(oks, bidx[None, :], 0)[0]
+        npts = ts.shape[0]
+        lo = jnp.where(bidx > 0,
+                       jnp.take_along_axis(bs, jnp.maximum(bidx - 1, 0)
+                                           [None, :], 0)[0],
+                       jnp.zeros((npts,), jnp.float32))
+        hi = jnp.take_along_axis(bs, bidx[None, :], 0)[0]
+
+        def bis_g(i, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            gm, _ = g_d(mid)
+            gl, _ = g_d(lo)
+            same = gm * gl > 0.0
+            return (jnp.where(same, mid, lo), jnp.where(same, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, 30, bis_g, (lo, hi))
+        beta0 = sg(0.5 * (lo + hi))
+        gp = (g_d(beta0 + FD_EPS)[0] - g_d(beta0 - FD_EPS)[0]) / (
+            2.0 * FD_EPS)
+        gp = jnp.where(jnp.abs(gp) < 1e-6,
+                       jnp.where(gp < 0.0, -1e-6, 1e-6), gp)
+        beta_live = beta0 - g_l(beta0)[0] / sg(gp)
+
+        v_live = (a * jnp.cos(beta_live) +
+                  (e1 * cphi + e2 * sphi) * jnp.sin(beta_live))
+        pts = e + v_live
+        mask = (found_c & (sg(d_em) > sg(R) * (1.0 + 1e-4))
+                & found_b & ok_hi & (bidx > 0))
+        return pts, mask.astype(jnp.float32)
+
+    return pts_fn
+
+
 def boundary_term(packed, static, d_loss_d_image, height: int, width: int,
                   n_edge_samples: int = 256, n_noise: int = 4,
                   delta_px: float = 0.35, seed: int = 0,
@@ -478,14 +647,16 @@ def boundary_term(packed, static, d_loss_d_image, height: int, width: int,
     # circle of the VIRTUAL sphere seen from the real eye.  The Δf straddle
     # estimator self-gates the curve to the mirror's screen extent (outside
     # it there is no radiance jump) and to unoccluded mirror pixels, so no
-    # explicit mirror-window clipping is needed.  Curved (sphere) mirrors
-    # remain a documented gap: their reflected silhouette is not a circle
-    # (Alhazen), though their reflected NEE penumbras ARE handled
-    # (shadow_boundary_term mirror receivers).
+    # explicit mirror-window clipping is needed.  CURVED (sphere) mirrors
+    # get the per-azimuth Alhazen solve (_mirror_sphere_silhouette_fn, r5):
+    # sphere-in-sphere-mirror silhouettes with implicit-function liveness.
     mirror_rect_ids = [
         i for i, cat in enumerate(static.object_categories)
         if cat == C.RECTANGLE and
         static.material_categories[static.object_mat_rows[i]] == C.MIRROR]
+    mirror_sphere_ids = [
+        i for i in sphere_ids
+        if static.material_categories[static.object_mat_rows[i]] == C.MIRROR]
     if not sphere_ids and not box_ids and not rev_ids:
         return jax.tree.map(jnp.zeros_like, packed)
 
@@ -528,6 +699,16 @@ def boundary_term(packed, static, d_loss_d_image, height: int, width: int,
 
                 total = total + _curve_edge_scalar(
                     pk, pk_detached, static, pts_fn,
+                    max(16, n_edge_samples // 2), d_loss_d_image, height,
+                    width, seed, n_noise, delta_px, max_bounces,
+                    grazing=True, extrapolate=extrapolate)
+        for m_idx in mirror_sphere_ids:
+            for s_idx in sphere_ids:
+                if s_idx == m_idx:
+                    continue
+                total = total + _curve_edge_scalar(
+                    pk, pk_detached, static,
+                    _mirror_sphere_silhouette_fn(m_idx, s_idx),
                     max(16, n_edge_samples // 2), d_loss_d_image, height,
                     width, seed, n_noise, delta_px, max_bounces,
                     grazing=True, extrapolate=extrapolate)
@@ -591,7 +772,7 @@ def boundary_term(packed, static, d_loss_d_image, height: int, width: int,
 
 def shadow_boundary_term(packed, static, d_loss_d_image, height: int,
                          width: int, n_curve_samples: int = 16,
-                         seed: int = 0):
+                         seed: int = 0, n_indirect_dirs: int = 0):
     """Shadow (NEE-visibility) boundary term for sphere occluders.
 
     The direct-light integral at a receiver x,
@@ -610,8 +791,16 @@ def shadow_boundary_term(packed, static, d_loss_d_image, height: int,
     spheres' center/radius AND the camera (receiver points re-derived from
     live camera rays, so eye/basis motion sweeps the penumbra too; mirror
     receivers follow the live ray through the frozen mirror).
-    Still not modeled: receivers after a DIFFUSE bounce, glass/refraction
-    chains, other occluder shapes (cone/cylinder/quadric occluders),
+
+    `n_indirect_dirs` > 0 (r5, VERDICT r4 next #4b) adds receivers reached
+    through ONE DIFFUSE bounce — indirect shadows: each matte primary hit
+    continues along `n_indirect_dirs` stratified BSDF-sampled directions
+    to secondary receivers, whose penumbra curves move the pixel through
+    the bounce throughput (ms.weight), averaged over the direction set.
+    Indirect receiver points are fully detached (no camera boundary
+    gradient through the indirect chain — a second-order term).
+    Still not modeled: chains ≥2 bounces deep, glass/refraction chains,
+    other occluder shapes (cone/cylinder/quadric occluders),
     multi-occluder overlap (a second occluder already covering the curve),
     and the mirror geometry's own motion of its reflected receivers.
 
@@ -699,6 +888,41 @@ def shadow_boundary_term(packed, static, d_loss_d_image, height: int,
                       for w in ms1.weight.clip(0.0, 1.0)))
         hit2 = hit2._replace(valid=hit2.valid & spec1)
         receivers.append(("mirror", hit2, rd2, tint))
+
+    # ---- one-DIFFUSE-bounce receivers (r5): indirect shadows.  Matte
+    # primary hits continue along stratified BSDF-sampled directions; the
+    # penumbra curves at those secondary receivers move the pixel through
+    # the bounce throughput, averaged over the direction set.
+    x_static = {}
+    if n_indirect_dirs > 0:
+        prim_matte = hit.valid & matte_rows[hit.mat_row] & (hit.emissive == 0)
+        ss0, ts0, wo0, sc0, _ = receiver_data(hit, rd)
+        shape_hw = (height, width)
+        ii_i = ii.astype(jnp.int32)
+        jj_i = jj.astype(jnp.int32)
+        for k in range(n_indirect_dirs):
+            # per-PIXEL decorrelated direction samples (counter RNG, like
+            # the integrator's BSDF stream): identical strata at every
+            # pixel correlate the quadrature error across the image and
+            # the K-point estimate oscillates instead of converging
+            # (measured: K=4/8/16 gave -0.006/+0.009/+0.005 on the
+            # indirect FD scene with fixed strata)
+            nk = rng.pixel_noise(seed, 52361 + k, ii=ii_i, jj=jj_i)
+            u1k, u2k, _ = nk.uniform3(0, rng.TAG_BSDF)
+            half = jnp.full(shape_hw, 0.5, jnp.float32)
+            ms0 = mat_ops.sample_material(pk_d.materials, static,
+                                          hit.mat_row, sc0, u1k, u2k, half,
+                                          wo0, hit.into)
+            wi_w = vm.local_to_world(ms0.wi, hit.n, ss0, ts0)
+            outdot = hit.n.dot(wi_w)
+            ro2k = hit.p + hit.n * jnp.where(outdot > 0.0, 1e-4, -1e-4)
+            hit2k = isect.intersect_scene(pk_d.objects, static, ro2k, wi_w)
+            tint_k = Vec3(*(jnp.where(prim_matte, w / n_indirect_dirs, 0.0)
+                            for w in ms0.weight.clip(0.0, 1.0)))
+            hit2k = hit2k._replace(valid=hit2k.valid & prim_matte)
+            tag = f"ind{k}"
+            x_static[tag] = jax.tree.map(sg, hit2k.p)
+            receivers.append((tag, hit2k, wi_w, tint_k))
 
     K = n_curve_samples
     phis = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
@@ -807,6 +1031,7 @@ def shadow_boundary_term(packed, static, d_loss_d_image, height: int,
             rd2_l = (rd_l - h1.n * (2.0 * h1.n.dot(rd_l))).normalize()
             x_live["mirror"] = isect.intersect_scene(
                 pk_d.objects, static, h1.p + h1.n * 1e-4, rd2_l).p
+        x_live.update(x_static)   # indirect receivers: detached points
         total = jnp.float32(0.0)
         for tag, i, lobj_d, coeff, n_hat in saved:
             y_live, _, _, _ = curve_points(pk.objects[i], lobj_d,
@@ -824,17 +1049,20 @@ def full_boundary_term(packed, static, d_loss_d_image, height: int,
                        n_noise: int = 4, seed: int = 0,
                        max_bounces: int = C.MAX_BOUNCES,
                        n_curve_samples: int = 32,
-                       shadow: bool = True):
+                       shadow: bool = True,
+                       n_indirect_dirs: int = 0):
     """Silhouette + (optionally) NEE-penumbra boundary terms for an arbitrary
     per-pixel loss adjoint — the complete edge-gradient correction the
-    framework currently models.  Returns a pytree shaped like `packed`."""
+    framework currently models.  Returns a pytree shaped like `packed`.
+    `n_indirect_dirs` > 0 additionally models indirect (one-diffuse-bounce)
+    shadow boundaries (see shadow_boundary_term)."""
     bnd = boundary_term(packed, static, d_loss_d_image, height, width,
                         n_edge_samples=n_edge_samples, n_noise=n_noise,
                         seed=seed, max_bounces=max_bounces)
     if shadow:
         shd = shadow_boundary_term(packed, static, d_loss_d_image, height,
                                    width, n_curve_samples=n_curve_samples,
-                                   seed=seed)
+                                   seed=seed, n_indirect_dirs=n_indirect_dirs)
         bnd = jax.tree.map(lambda a, b: a + b, bnd, shd)
     return bnd
 

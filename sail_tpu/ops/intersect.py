@@ -721,13 +721,20 @@ def intersect_scene(objects: tuple, static, ro: Vec3, rd: Vec3,
     )
 
 
-def occluded(objects: tuple, static, ro: Vec3, rd: Vec3, max_t) -> jax.Array:
+def occluded(objects: tuple, static, ro: Vec3, rd: Vec3, max_t,
+             cull: bool = False) -> jax.Array:
     """Any-hit shadow query along normalized `rd`, accepting occluders with
     t ∈ (EPSILON, max_t) (ref: light/shader.light.js:21-28 testShadow,
     parameterized there on the unnormalized segment instead).  Large
     same-category groups fold via fori_loop like intersect_scene (the
     shadow pass is the second full intersect scan — it must scale the same
-    way); occlusion is carried as int32 inside the loop (Mosaic-safe)."""
+    way); occlusion is carried as int32 inside the loop (Mosaic-safe).
+
+    `cull` (opt-in, batched groups): per-BATCH AABB cond — skip an object
+    when no still-unoccluded lane's segment can reach its bound box.  Like
+    the closest-hit cull this only pays when the batch is a small tile
+    (the Pallas megakernel), where the any-reduce has a chance to be false;
+    it also short-circuits once every lane in the tile is occluded."""
     shape = jnp.broadcast_shapes(ro.shape, rd.shape)
     ro = ro.broadcast_to(shape)
     rd = rd.broadcast_to(shape)
@@ -747,9 +754,19 @@ def occluded(objects: tuple, static, ro: Vec3, rd: Vec3, max_t) -> jax.Array:
 
         def body(k, occ32, cat=cat, stacked=stacked):
             pk = jax.tree.map(lambda a: a[k], stacked)
-            h = SHAPE_FNS[cat](ro, rd, pk, detail=False)
-            return occ32 | ((h.t > C.EPSILON) & (h.t < max_t)).astype(
-                jnp.int32)
+
+            def do(occ32):
+                h = SHAPE_FNS[cat](ro, rd, pk, detail=False)
+                return occ32 | ((h.t > C.EPSILON) & (h.t < max_t)).astype(
+                    jnp.int32)
+
+            if cull:
+                amin, amax = object_aabb(cat, pk)
+                tn, tf = _slab(ro, rd, amin, amax)
+                reachable = (tn < tf) & (tf > C.EPSILON) & (tn < max_t)
+                possible = jnp.any(reachable & (occ32 == 0))
+                return jax.lax.cond(possible, do, lambda o: o, occ32)
+            return do(occ32)
 
         occ32 = jax.lax.fori_loop(0, len(idxs), body,
                                   occ.astype(jnp.int32))

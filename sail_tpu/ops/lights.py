@@ -166,12 +166,15 @@ def _sample_geometry(cat: int, params, u1, u2, shape):
 
 
 def sample_direct(objects: tuple, lights: tuple, static, hit_p: Vec3, hit_n: Vec3,
-                  u1, u2, light_idx) -> tuple[Vec3, Vec3]:
+                  u1, u2, light_idx, cull: bool = False) -> tuple[Vec3, Vec3]:
     """Direct-lighting estimate at hit points.
 
     Returns (radiance, wi_world): incident radiance already weighted by the
     surface cosine, geometric terms, visibility, and the light-pick pdf; and
     the light direction for BSDF evaluation.  Zero where no lights.
+
+    `cull`: forward the per-batch AABB cull to the shadow scan (pays only
+    when the batch is a small tile — see intersect.occluded).
     """
     shape = hit_p.shape
     n_lights = len(lights)
@@ -229,6 +232,7 @@ def sample_direct(objects: tuple, lights: tuple, static, hit_p: Vec3, hit_n: Vec
     dist = to_l.length()
     wi = to_l * (1.0 / jnp.maximum(dist, 1e-12))
     origin = hit_p + hit_n * 1e-4
-    occ = isect.occluded(objects, static, origin, wi, dist * (1.0 - 1e-3))
+    occ = isect.occluded(objects, static, origin, wi, dist * (1.0 - 1e-3),
+                         cull=cull)
     vis = jnp.where(occ, 0.0, 1.0)
     return cand_r * vis, wi

@@ -77,20 +77,24 @@ def _inject_mix(jx, jy, iters):
     """The vpu_peak `integrator_mix` body, iterated `iters` times on state
     seeded from per-sample jitter.  Bounded by construction (rsqrt pulls b
     into (0,1]); returns a tiny join term.  Op accounting happens in units
-    of mix-ITERATIONS, so no per-op weight convention is needed."""
+    of mix-ITERATIONS, so no per-op weight convention is needed.
+
+    UNROLLED straight-line (no inner fori_loop): Mosaic schedules at basic-
+    block granularity and will NOT interleave a separate inner loop with
+    the surrounding trace computation — a looped probe just measures its
+    own standalone latency (measured: looped marginal 1.07e-11 s/elem-iter
+    ~= the serial chain's standalone rate at (8,512), PROFILE_r05 first
+    pass).  Unrolled, the injected ops sit in the same block as the bounce
+    math, so idle issue slots (if any) can absorb them — which is the
+    thing the probe exists to detect."""
     a = jx * 0.5 + 1.0
     b = jy * 0.25 + 0.5
-
-    def body(i, ab):
-        a, b = ab
+    for _ in range(iters):
         for _ in range(2):
             a = a * b + 1.000001
             m = jnp.maximum(a, b)
             s = jnp.where(a > b, a, b * 1.000001)
             b = jax.lax.rsqrt(jnp.abs(m * s) + 1.0)
-        return (a, b)
-
-    a, b = jax.lax.fori_loop(0, iters, body, (a, b))
     return (a + b) * 1e-37
 
 
@@ -101,7 +105,7 @@ def _flatten_scene(packed):
 
 
 def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
-                max_bounces, early_exit=False, spp_unroll=1):
+                max_bounces, early_exit=False, spp_unroll=1, cull=False):
     """Accumulate `spp` samples for one tile — shared by the kernel body and
     (for parity testing) the interpreter path.
 
@@ -129,7 +133,7 @@ def _trace_tile(pk, static, ii, jj, height, width, seed, sample0, spp,
         # bit-equal to the XLA integrator (tools/tpu_checks.py check 1).
         from ...render.integrator import trace_rays
         res = trace_rays(pk, static, ro, rd, noise, max_bounces,
-                         early_exit=early_exit)
+                         early_exit=early_exit, cull=cull)
         color = res.color
         if INJECT_MIX_ITERS:   # roofline probe only; 0 in production
             probe = _inject_mix(jx, jy, INJECT_MIX_ITERS)
@@ -157,7 +161,7 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
                         tile_rows: int = 8, tile_cols: int = None,
                         interpret=None, row0=0, image_height: int = None,
                         vma=None, early_exit: bool = False,
-                        spp_unroll: int = None) -> Vec3:
+                        spp_unroll: int = None, cull: bool = False) -> Vec3:
     """Forward render of an H×W block via the Pallas megakernel.
 
     Returns the SUM of `spp` sample passes (divide by spp for the mean).
@@ -174,7 +178,14 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
     at 1024^2x64spp), hence the 256 default; the tile shape also sets the
     opt-in `early_exit` granularity — full-width tiles span sky AND
     geometry on open scenes and never go all-dead (VERDICT r3 missing #4:
-    1.22x of a 3.05x per-lane bound), while narrower tiles can die."""
+    1.22x of a 3.05x per-lane bound), while narrower tiles can die.
+
+    `cull` (opt-in): per-TILE AABB broad phase for batched same-category
+    object groups — inside the kernel the intersect/shadow folds cond-skip
+    any object whose bound box no lane in THIS tile can reach.  This is
+    where the batched cull actually pays (the whole-image XLA path's
+    any-reduce is always true — MANYOBJ_r03/r04); small tiles + spatially
+    localized objects prune most of the object loop per tile."""
     if interpret is None:
         # Mosaic only lowers for TPU; fall back to the interpreter on CPU
         # (tests / virtual-device meshes).
@@ -213,7 +224,7 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
                           seed_ref[0], sample_ref[0],
                           spp, max_bounces, early_exit=early_exit,
                           spp_unroll=(FWD_SPP_UNROLL if spp_unroll is None
-                                      else spp_unroll))
+                                      else spp_unroll), cull=cull)
         out_x[:] = acc.x
         out_y[:] = acc.y
         out_z[:] = acc.z

@@ -61,20 +61,21 @@ class _PathState(NamedTuple):
 
 def _bounce_step(scene, state: _PathState, noise: PixelNoise, *, static,
                  bounce: int, clamp_weight: bool,
-                 rand_override=None) -> _PathState:
+                 rand_override=None, cull: bool = False) -> _PathState:
     """One bounce: intersect → shade → NEE → continue.  Pure function of
     (scene, state) so it can be rematerialized per-bounce
     (`jax.checkpoint`) in memory-tight backward passes."""
-    hit = isect.intersect_scene(scene.objects, static, state.ro, state.rd)
+    hit = isect.intersect_scene(scene.objects, static, state.ro, state.rd,
+                                cull=cull)
     alive = state.alive & hit.valid
     return _bounce_shade(scene, state, hit, alive, noise, static=static,
                          bounce=bounce, clamp_weight=clamp_weight,
-                         rand_override=rand_override)
+                         rand_override=rand_override, cull=cull)
 
 
 def _bounce_shade(scene, state: _PathState, hit, alive, noise: PixelNoise,
                   *, static, bounce: int, clamp_weight: bool,
-                  rand_override=None) -> _PathState:
+                  rand_override=None, cull: bool = False) -> _PathState:
     """Shade + NEE + path continuation for an already-intersected bounce —
     the post-intersect tail of `_bounce_step`, split out so the early-exit
     path can cond-skip it when NO lane in the batch hit anything (exact:
@@ -128,7 +129,8 @@ def _bounce_shade(scene, state: _PathState, hit, alive, noise: PixelNoise,
                                n_lights - 1)
         nee_mask = (ms.is_matte > 0) & (hit.emissive == 0) & alive
         direct, wi_light = lights_ops.sample_direct(
-            scene.objects, scene.lights, static, hit.p, hit.n, lu1, lu2, lidx)
+            scene.objects, scene.lights, static, hit.p, hit.n, lu1, lu2,
+            lidx, cull=cull)
         wi_light_local = vm.world_to_local(wi_light, hit.n, ss, ts)
         f_light = mat_ops.eval_matte_f(scene.materials, static, hit.mat_row,
                                        sc, wo, wi_light_local)
@@ -155,7 +157,8 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
                clamp_weight: bool = True,
                rand_override=None,
                remat_bounces: bool = False,
-               early_exit: bool = False) -> TraceResult:
+               early_exit: bool = False,
+               cull: bool = False) -> TraceResult:
     """Trace a batch of rays through the packed scene.
 
     `scene` is a PackedScene pytree; `static` a SceneStatic; `ro`/`rd` Vec3s
@@ -181,6 +184,14 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
     blocks): the measured upper bound for any compaction scheme on the
     closed benchmark scenes is 1.18-1.24x, while open scenes (escaped rays
     die in coherent sky regions) reach 3x (docs/OCCUPANCY.md).
+
+    `cull` (opt-in): per-batch AABB cond culls for BATCHED same-category
+    object groups — both intersect scans skip an object when no lane in
+    this batch can reach its bound box.  Exact (a culled object cannot
+    change the fold) but cond-wrapped, so like early_exit the results are
+    allclose-not-bitwise vs the uncondited fold.  Pays only when the batch
+    is a small tile of a many-object scene (the per-tile broad phase —
+    ref: src/shader/shape/boundbox.glsl:6-16 prunes per pixel).
     """
     shape = jnp.broadcast_shapes(ro.shape, rd.shape)
     ro = ro.broadcast_to(shape)
@@ -209,7 +220,8 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
     for bounce in range(max_bounces):
         step = lambda s, st, b=bounce: _bounce_step(
             s, st, noise, static=static, bounce=b,
-            clamp_weight=clamp_weight, rand_override=rand_override)
+            clamp_weight=clamp_weight, rand_override=rand_override,
+            cull=cull)
         if remat_bounces:
             step = jax.checkpoint(step)
         if early_exit and bounce == 0:
@@ -220,7 +232,7 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
             # shade+NEE for every sample (docs/OCCUPANCY.md r4: the
             # tile-level oracle charges dead tiles only their primary scan).
             hit = isect.intersect_scene(scene.objects, static,
-                                        state.ro, state.rd)
+                                        state.ro, state.rd, cull=cull)
             alive0 = state.alive & hit.valid
             gbuf = state._replace(g_normal=hit.n, g_position=hit.p,
                                   alive=alive0)
@@ -230,7 +242,7 @@ def trace_rays(scene, static, ro: Vec3, rd: Vec3, noise: PixelNoise,
                 return _mask_safe(_bounce_shade(
                     scene, st, hit, st.alive, noise, static=static,
                     bounce=0, clamp_weight=clamp_weight,
-                    rand_override=rand_override))
+                    rand_override=rand_override, cull=cull))
 
             state = _mask_bool(jax.lax.cond(
                 jnp.any(alive0), _shade0, lambda st: st, _mask_safe(gbuf)))

@@ -138,7 +138,9 @@ class Renderer:
             static, h, w, b, seed = (self._static, self.height, self.width,
                                      self.max_bounces, self.seed)
             ee = self.early_exit
-            tc = 128 if ee else None   # fine tiles die more often (r4)
+            # 8x512 tiles: best absolute early-exit time in the stable
+            # 64-spp measurement (PROFILE_r05_part2 open_scene_64spp)
+            tc = 512 if ee else None
             self._batch_fns[key] = jax.jit(
                 lambda p, s0: render_block_pallas(p, static, h, w, spp, seed,
                                                   s0, b, tile_cols=tc,

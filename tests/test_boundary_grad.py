@@ -618,3 +618,218 @@ def test_mirror_penumbra_smoke_baked():
     gx = float(shd.objects[2].center.x)
     assert gx > 0, gx
     assert gx == pytest.approx(0.00026220, rel=0.15), gx
+
+
+def _curved_mirror_scene(dx=0.0, radius=0.8):
+    """A MIRROR SPHERE filling the view and an emissive sphere BEHIND the
+    camera: the emissive sphere is visible ONLY as its reflection in the
+    curved mirror, so the Alhazen silhouette (r5,
+    _mirror_sphere_silhouette_fn) is the dominant discontinuity.  The
+    emissive sphere is unshaded (uniform emission), so interior AD w.r.t.
+    its center is ~0 and the boundary term must carry the FD signal."""
+    s = sail.Scene()
+    s.add(sail.Camera([0.0, 0.0, 2.5], [0.0, 0.0, 0.0]))
+    s.add(sail.Sphere([0.0, 0.0, -0.3], 0.7, sail.Mirror(kr=1.0)))
+    s.add(sail.Sphere([0.6 + dx, 0.2, 3.6], radius,
+                      emission=[1.0, 1.0, 1.0]))
+    return s
+
+
+@pytest.mark.slow
+def test_curved_mirror_silhouette_matches_fd_translation():
+    """FD of the loss w.r.t. the reflected sphere's x-translation vs
+    interior AD + the Alhazen boundary term (VERDICT r4 next #4a)."""
+    hb, wb, sppb, bounces = 72, 72, 128, 2
+    ramp = jnp.linspace(0.25, 2.0, wb)[None, :] * jnp.ones((hb, 1))
+
+    def make(scene):
+        packed, static = scene.pack()
+
+        @jax.jit
+        def loss(pk):
+            img = render_image(pk, static, hb, wb, sppb, seed=3,
+                               max_bounces=bounces)
+            return ((img.x + img.y + img.z) * ramp).mean() / 3.0, img
+        return packed, static, loss
+
+    packed, static, loss = make(_curved_mirror_scene())
+    eps = 0.04
+    lp, _ = make(_curved_mirror_scene(dx=+eps))[2](
+        make(_curved_mirror_scene(dx=+eps))[0])
+    lm, _ = make(_curved_mirror_scene(dx=-eps))[2](
+        make(_curved_mirror_scene(dx=-eps))[0])
+    g_fd = (float(lp) - float(lm)) / (2 * eps)
+
+    interior, _ = jax.grad(loss, has_aux=True)(packed)
+    g_int = float(interior.objects[1].center.x)
+    wn = ramp / (3.0 * hb * wb)
+    bnd = boundary_term(packed, static, Vec3(wn, wn, wn), hb, wb,
+                        n_edge_samples=512, n_noise=4, seed=11,
+                        max_bounces=bounces)
+    g_bnd = float(bnd.objects[1].center.x)
+
+    assert abs(g_fd) > 2e-4          # the FD signal exists
+    assert abs(g_int) < 0.25 * abs(g_fd)   # interior alone misses it
+    assert g_int + g_bnd == pytest.approx(g_fd, rel=0.3, abs=5e-4), \
+        f"fd={g_fd} int={g_int} bnd={g_bnd}"
+
+
+@pytest.mark.slow
+def test_curved_mirror_silhouette_matches_fd_radius():
+    """Radius of the sphere imaged in the curved mirror."""
+    hb, wb, sppb, bounces = 72, 72, 128, 2
+    ramp = jnp.linspace(0.25, 2.0, wb)[None, :] * jnp.ones((hb, 1))
+
+    def make(scene):
+        packed, static = scene.pack()
+
+        @jax.jit
+        def loss(pk):
+            img = render_image(pk, static, hb, wb, sppb, seed=3,
+                               max_bounces=bounces)
+            return ((img.x + img.y + img.z) * ramp).mean() / 3.0, img
+        return packed, static, loss
+
+    packed, static, loss = make(_curved_mirror_scene())
+    r0, eps = 0.8, 0.03
+    lp, _ = make(_curved_mirror_scene(radius=r0 + eps))[2](
+        make(_curved_mirror_scene(radius=r0 + eps))[0])
+    lm, _ = make(_curved_mirror_scene(radius=r0 - eps))[2](
+        make(_curved_mirror_scene(radius=r0 - eps))[0])
+    g_fd = (float(lp) - float(lm)) / (2 * eps)
+
+    interior, _ = jax.grad(loss, has_aux=True)(packed)
+    wn = ramp / (3.0 * hb * wb)
+    bnd = boundary_term(packed, static, Vec3(wn, wn, wn), hb, wb,
+                        n_edge_samples=512, n_noise=4, seed=11,
+                        max_bounces=bounces)
+    g_tot = (float(interior.objects[1].radius) +
+             float(bnd.objects[1].radius))
+    assert abs(g_fd) > 1e-3
+    assert g_tot == pytest.approx(g_fd, rel=0.3, abs=1e-3), \
+        f"fd={g_fd} tot={g_tot}"
+
+
+def test_curved_mirror_silhouette_smoke_baked():
+    """FAST guard for the Alhazen machinery: tiny twin of the FD tests,
+    baked expected gradients (values recorded 2026-08-21 after the FD
+    twins passed; deterministic counter RNG)."""
+    h = w = 24
+    packed, static = _curved_mirror_scene().pack()
+    ramp = jnp.linspace(0.25, 2.0, w)[None, :] * jnp.ones((h, 1))
+    wn = ramp / (3.0 * h * w)
+    bnd = boundary_term(packed, static, Vec3(wn, wn, wn), h, w,
+                        n_edge_samples=128, n_noise=2, seed=11,
+                        max_bounces=2)
+    gx = float(bnd.objects[1].center.x)
+    gr = float(bnd.objects[1].radius)
+    # baked after FD validation (see slow twins): -0.00057653 / 0.00831524
+    assert gx == pytest.approx(-0.00057653, rel=0.15), gx
+    assert gr == pytest.approx(0.00831524, rel=0.15), gr
+
+
+@pytest.mark.slow
+def test_indirect_shadow_receivers_close_fd_gap():
+    """Indirect (one-diffuse-bounce) shadows (VERDICT r4 next #4b): the
+    occluder's penumbra on the floor changes the BACK WALL's radiance only
+    through the wall->floor diffuse bounce.  The n_indirect_dirs receivers
+    must be load-bearing for FD agreement.  Proto (64^2, 128 spp, 3 seeds,
+    2026-08-21): fd=+0.04356, int+sil+direct=+0.03602 (17% short), indirect
+    penumbra +0.0039 -> total +0.0399 (8% short) — the residual is the
+    UNMODELED secondary-vertex silhouette (the sphere occluding the
+    wall->floor BSDF segment itself); see shadow_boundary_term's scope."""
+    from sail_tpu.diff.boundary import shadow_boundary_term
+
+    hb = wb = 96
+    sppb, bounces = 160, 2
+
+    def scene(dx=0.0):
+        s = sail.Scene()
+        s.add(sail.Camera([0.0, 0.3, 2.5], [0.0, 0.3, 0.0]))
+        # vertical back wall (the indirectly-lit receiver the camera sees)
+        s.add(sail.Rectangle([-1.4, -0.98, -1.0], [1.4, 1.8, -1.0],
+                             sail.Matte(kd=0.9)))
+        # floor (the directly-lit surface carrying the penumbra)
+        s.add(sail.Rectangle([-1.4, -1.0, -1.0], [1.4, -1.0, 2.6],
+                             sail.Matte(kd=0.9)))
+        s.add(sail.Sphere([0.2 + dx, 0.1, 0.8], 0.4, sail.Matte(kd=0.3)))
+        s.add(sail.AreaLight(
+            sail.Rectangle([-0.2, 1.5, 0.5], [0.4, 1.5, 1.1],
+                           sail.Matte()), [14.0, 14.0, 14.0]))
+        return s
+
+    ramp = jnp.linspace(0.1, 3.0, wb)[None, :] * jnp.ones((hb, 1))
+
+    def make(sc):
+        packed, static = sc.pack()
+
+        @jax.jit
+        def loss(pk, seed):
+            img = render_image(pk, static, hb, wb, sppb, seed=seed,
+                               max_bounces=bounces)
+            return ((img.x + img.y + img.z) * ramp).mean() / 3.0, img
+        return packed, static, loss
+
+    packed, static, loss = make(scene())
+    eps = 0.04
+    fds = []
+    for seed in (3, 13, 23):
+        lp, _ = make(scene(dx=+eps))[2](make(scene(dx=+eps))[0], seed)
+        lm, _ = make(scene(dx=-eps))[2](make(scene(dx=-eps))[0], seed)
+        fds.append((float(lp) - float(lm)) / (2 * eps))
+    g_fd = float(np.mean(fds))
+
+    interior, _ = jax.grad(lambda p: loss(p, 3), has_aux=True)(packed)
+    g_int = float(interior.objects[2].center.x)
+    wn = ramp / (3.0 * hb * wb)
+    dL = Vec3(wn, wn, wn)
+    sil = boundary_term(packed, static, dL, hb, wb, n_edge_samples=512,
+                        n_noise=6, seed=11, max_bounces=bounces)
+    shd0 = shadow_boundary_term(packed, static, dL, hb, wb,
+                                n_curve_samples=64)
+    shd1 = shadow_boundary_term(packed, static, dL, hb, wb,
+                                n_curve_samples=64, n_indirect_dirs=8)
+    g_sil = float(sil.objects[2].center.x)
+    g_direct = float(shd0.objects[2].center.x)
+    g_all = float(shd1.objects[2].center.x)
+
+    tot_no_ind = g_int + g_sil + g_direct
+    tot = g_int + g_sil + g_all
+    assert abs(g_fd) > 2e-4
+    # the indirect receivers close (most of) the gap the direct-only term
+    # leaves open
+    assert abs(tot - g_fd) < abs(tot_no_ind - g_fd), \
+        f"fd={g_fd} no_ind={tot_no_ind} tot={tot}"
+    assert tot == pytest.approx(g_fd, rel=0.35, abs=2e-4), \
+        f"fd={g_fd} tot={tot} (int={g_int} sil={g_sil} " \
+        f"dir={g_direct} all={g_all})"
+
+
+def test_indirect_shadow_smoke_baked():
+    """FAST guard for the indirect-receiver machinery: baked expected
+    center.x gradient of the indirect-shadow contribution (all - direct),
+    recorded 2026-08-21 after the FD twin passed."""
+    from sail_tpu.diff.boundary import shadow_boundary_term
+
+    h = w = 48
+    s = sail.Scene()
+    s.add(sail.Camera([0.0, 0.3, 2.5], [0.0, 0.3, 0.0]))
+    s.add(sail.Rectangle([-1.4, -0.98, -1.0], [1.4, 1.8, -1.0],
+                         sail.Matte(kd=0.9)))
+    s.add(sail.Rectangle([-1.4, -1.0, -1.0], [1.4, -1.0, 2.6],
+                         sail.Matte(kd=0.9)))
+    s.add(sail.Sphere([0.2, 0.1, 0.8], 0.4, sail.Matte(kd=0.3)))
+    s.add(sail.AreaLight(
+        sail.Rectangle([-0.2, 1.5, 0.5], [0.4, 1.5, 1.1], sail.Matte()),
+        [14.0, 14.0, 14.0]))
+    packed, static = s.pack()
+    ramp = jnp.linspace(0.1, 3.0, w)[None, :] * jnp.ones((h, 1))
+    wn = ramp / (3.0 * h * w)
+    dL = Vec3(wn, wn, wn)
+    shd0 = shadow_boundary_term(packed, static, dL, h, w,
+                                n_curve_samples=32)
+    shd1 = shadow_boundary_term(packed, static, dL, h, w,
+                                n_curve_samples=32, n_indirect_dirs=4)
+    g_ind = (float(shd1.objects[2].center.x) -
+             float(shd0.objects[2].center.x))
+    assert g_ind == pytest.approx(0.00377, rel=0.15), g_ind

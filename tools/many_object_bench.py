@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--bounces", type=int, default=3)
     ap.add_argument("--counts", default="4,16,64")
+    ap.add_argument("--tile-cols", type=int, default=128,
+                    help="megakernel tile width for the pallas modes "
+                         "(narrow tiles localize better for the cull)")
     args = ap.parse_args()
 
     import jax
@@ -61,60 +64,97 @@ def main():
     from sail_tpu.ops import intersect as isect
     from sail_tpu.render.integrator import render_image
 
+    from sail_tpu.ops.pallas.megakernel import render_block_pallas
+
     h = w = args.size
     counts = [int(c) for c in args.counts.split(",")]
+    tile_cols = args.tile_cols
     rows = []
     for n in counts:
         scene = build_scene(n)
         packed, static = scene.pack()
         row = {"n_spheres": n}
-        for mode in ("unrolled", "batched", "batched_cull"):
+        for mode in ("unrolled", "batched", "batched_cull",
+                     "pallas", "pallas_cull"):
             isect.BATCH_THRESHOLD = 10 ** 9 if mode == "unrolled" else 8
             if mode == "unrolled" and n > 64:
                 row[mode] = None  # unrolled compile explodes; skip
                 continue
-            cull = mode == "batched_cull"
+            cull = mode.endswith("_cull")
 
-            def impl(p, seed, cull=cull):
-                from functools import partial
-                import sail_tpu.ops.intersect as _i
-                orig = _i.intersect_scene
-                _i.intersect_scene = partial(orig, cull=cull) if cull else orig
-                try:
-                    img = render_image(p, static, h, w, args.spp, seed=seed,
-                                       max_bounces=args.bounces)
-                finally:
-                    _i.intersect_scene = orig
-                return img.x.sum() + img.y.sum() + img.z.sum()
+            if mode.startswith("pallas"):
+                # The per-tile broad phase: inside the megakernel the
+                # batch IS one (8, tile_cols) tile, so the cull's
+                # any-reduce prunes per tile — the XLA whole-image path's
+                # reduce is always true and its cond is pure overhead
+                # (r3/r4 measurements).
+                def impl(p, seed, cull=cull):
+                    img = render_block_pallas(
+                        p, static, h, w, args.spp, seed, 0,
+                        max_bounces=args.bounces, tile_rows=8,
+                        tile_cols=tile_cols, cull=cull)
+                    return img.x.sum() + img.y.sum() + img.z.sum()
+            else:
+                def impl(p, seed, cull=cull):
+                    from functools import partial
+                    import sail_tpu.ops.intersect as _i
+                    orig = _i.intersect_scene
+                    _i.intersect_scene = (partial(orig, cull=cull)
+                                          if cull else orig)
+                    try:
+                        img = render_image(p, static, h, w, args.spp,
+                                           seed=seed,
+                                           max_bounces=args.bounces)
+                    finally:
+                        _i.intersect_scene = orig
+                    return img.x.sum() + img.y.sum() + img.z.sum()
 
-            t0 = time.perf_counter()
-            compiled = jax.jit(impl).lower(packed, 0).compile()
-            t_compile = time.perf_counter() - t0
-            float(compiled(packed, 0))  # warm (host readback = barrier)
-            ts = []
-            for i in range(3):
+            try:
                 t0 = time.perf_counter()
-                float(compiled(packed, i))
-                ts.append(time.perf_counter() - t0)
-            ts.sort()
-            row[mode] = {"compile_s": round(t_compile, 2),
-                         "render_s": round(ts[len(ts) // 2], 4)}
+                compiled = jax.jit(impl).lower(packed, 0).compile()
+                t_compile = time.perf_counter() - t0
+                float(compiled(packed, 0))  # warm (readback = barrier)
+                ts = []
+                for i in range(3):
+                    t0 = time.perf_counter()
+                    float(compiled(packed, i))
+                    ts.append(time.perf_counter() - t0)
+                ts.sort()
+                row[mode] = {"compile_s": round(t_compile, 2),
+                             "render_s": round(ts[len(ts) // 2], 4)}
+            except Exception as e:
+                row[mode] = f"error: {type(e).__name__}: {str(e)[:160]}"
         rows.append(row)
         print(json.dumps({"progress": row}), flush=True)
 
     def ratio(a, b):
         return None if not (a and b) else round(a / b, 2)
 
+    def rget(row, mode, key):
+        v = row.get(mode)
+        return v.get(key) if isinstance(v, dict) else None
+
     first, last = rows[0], rows[-1]
     growth = {
         "objects_ratio": counts[-1] / counts[0],
         "batched_compile_growth": ratio(
-            last["batched"]["compile_s"], first["batched"]["compile_s"]),
+            rget(last, "batched", "compile_s"),
+            rget(first, "batched", "compile_s")),
         "batched_render_growth": ratio(
-            last["batched"]["render_s"], first["batched"]["render_s"]),
+            rget(last, "batched", "render_s"),
+            rget(first, "batched", "render_s")),
+        "pallas_render_growth": ratio(
+            rget(last, "pallas", "render_s"),
+            rget(first, "pallas", "render_s")),
+        "pallas_cull_render_growth": ratio(
+            rget(last, "pallas_cull", "render_s"),
+            rget(first, "pallas_cull", "render_s")),
+        "cull_speedup_at_max_n": ratio(
+            rget(last, "pallas", "render_s"),
+            rget(last, "pallas_cull", "render_s")),
         "unrolled_compile_growth": ratio(
-            (last.get("unrolled") or {}).get("compile_s"),
-            (first.get("unrolled") or {}).get("compile_s")),
+            rget(last, "unrolled", "compile_s"),
+            rget(first, "unrolled", "compile_s")),
     }
     print(json.dumps({
         "metric": "many-object scaling (compile flat, trace sub-linear)",

@@ -552,6 +552,46 @@ def vpu_peak_section(iters=5):
             b = jax.lax.rsqrt(jnp.abs(m * s) + 1.0)
         return a, b
 
+    def integrator_mix_ilp8(chains, _):
+        # 8 INDEPENDENT (a, b) mix chains per iteration: at the megakernel's
+        # own (8, 512) tile one op covers only 4 f32 vregs, so a single
+        # serial chain is latency-bound (measured 0.8 Tops/s vs 5.3 on the
+        # big block).  With 8 chains = ~64 independent vreg instrs in
+        # flight, this measures the ISSUE-limited ceiling at tile geometry
+        # — the honest comparator for the in-kernel marginal op cost.
+        new = []
+        for a, b in chains:
+            for _ in range(2):
+                a = a * b + 1.000001
+                m = jnp.maximum(a, b)
+                s = jnp.where(a > b, a, b * 1.000001)
+                b = jax.lax.rsqrt(jnp.abs(m * s) + 1.0)
+            new.append((a, b))
+        return tuple(new), None
+
+    def run_kernel_ilp8(R, Cn, G, K):
+        def kernel(out_ref):
+            base = (jax.lax.broadcasted_iota(jnp.int32, (R, Cn), 1)
+                    .astype(jnp.float32) * 1e-3 + 1.0)
+            chains = tuple((base * (1.0 + 0.01 * c), base * 0.5 + 0.25)
+                           for c in range(8))
+
+            def body(i, ch):
+                return integrator_mix_ilp8(ch, None)[0]
+
+            chains = jax.lax.fori_loop(0, K, body, chains)
+            acc = chains[0][0]
+            for a, b in chains[1:]:
+                acc = acc + a + b
+            out_ref[:] = acc + chains[0][1]
+
+        out = pl.pallas_call(
+            kernel, grid=(G,),
+            out_specs=pl.BlockSpec((R, Cn), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((R, Cn), jnp.float32))()
+        return out.sum()
+
     out = {}
     # Second geometry: the MEGAKERNEL's own (8, 512) tile = 4 f32 vregs
     # per op — measures the achievable rate at the kernel's actual vreg
@@ -582,6 +622,28 @@ def vpu_peak_section(iters=5):
                 "unit": "Tops/s (1 op = 1 elementwise ALU op; a mul-add "
                         "counts 1 here, 2 under the FLOP convention)",
             }
+
+    # issue-limited ceiling at tile geometry (8 independent chains)
+    R8, Cn8, G8, K8 = 8, 512, 2048, 256
+    f = jax.jit(lambda: run_kernel_ilp8(R8, Cn8, G8, K8))
+    float(f())
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(f())
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    t = ts[len(ts) // 2]
+    elems_iters = G8 * R8 * Cn8 * K8 * 8   # 8 chains per loop iteration
+    out["integrator_mix_tile8x512_ilp8"] = {
+        "seconds": round(t, 5),
+        "ops_counted": elems_iters * 10,
+        "achieved_tops_per_s": round(elems_iters * 10 / t / 1e12, 3),
+        "s_per_elem_iter": t / elems_iters,
+        "unit": "Tops/s, 8 independent mix chains (issue-limited at tile "
+                "geometry; the single-chain _tile8x512 row is the "
+                "latency-bound floor)",
+    }
     return out
 
 
@@ -690,8 +752,12 @@ def op_slope_section(size=1024, spp=64, bounces=5, iters=5,
     packed, static = scenes.cornell_mirror().pack()
     H = W = size
     lanes = H * W * spp
-    ks = [0, 64, 128, 256]
-    out = {"config": f"{size}^2 x {spp}spp x {bounces}b, tile 8x512"}
+    # UNROLLED injection (see megakernel._inject_mix): keep K small enough
+    # that the straight-line block stays schedulable; 64 iters = ~640
+    # weighted ops vs the kernel's ~1800/lane-sample equivalent.
+    ks = [0, 16, 32, 64]
+    out = {"config": f"{size}^2 x {spp}spp x {bounces}b, tile 8x512, "
+                     "unrolled injection"}
     times = {}
     saved = mk.INJECT_MIX_ITERS
     try:
@@ -724,7 +790,8 @@ def op_slope_section(size=1024, spp=64, bounces=5, iters=5,
         out["marginal_s_per_elem_iter"] = marginal
         out["slope_s_per_inject_iter"] = slope
         if peak:
-            for key in ("integrator_mix_tile8x512", "integrator_mix"):
+            for key in ("integrator_mix_tile8x512_ilp8",
+                        "integrator_mix_tile8x512", "integrator_mix"):
                 pk = peak.get(key)
                 if isinstance(pk, dict) and "s_per_elem_iter" in pk:
                     util = pk["s_per_elem_iter"] / max(marginal, 1e-30)
