@@ -520,6 +520,18 @@ class SceneHit(NamedTuple):
     valid: jax.Array  # bool: t < MAX_DISTANCE
 
 
+def _dyn_at(a, k):
+    """Mosaic-safe dynamic element pick a[k] for a 1-D traced array: `a[k]`
+    lowers to `dynamic_slice`, which Pallas TPU does not implement inside
+    kernels — a 2-D iota-masked reduction (compare + select + sum on a
+    (1, n) view) lowers to plain vector ops instead and is exact (one
+    nonzero term).  Used by the batched folds so they work both in XLA and
+    inside the megakernel."""
+    a2 = a.reshape(1, -1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, a2.shape, 1)
+    return jnp.sum(jnp.where(iota == k, a2, jnp.zeros_like(a2)))
+
+
 def _select_hit(closer, a: Hit, b: Hit) -> Hit:
     return jax.tree.map(lambda x, y: jnp.where(closer, x, y), a, b)
 
@@ -586,13 +598,31 @@ def _batched_fold(cat, idxs, objects, static, ro, rd, shape, carry,
     gather): the selection rides the same masked-fold pattern as the hits.
     """
     stacked = _stack_group(objects, idxs)
-    mat_rows = jnp.asarray([static.object_mat_rows[i] for i in idxs],
-                           jnp.int32)
-    tex_rows = jnp.asarray([static.object_tex_rows[i] for i in idxs],
-                           jnp.int32)
-    obj_ids = jnp.asarray(list(idxs), jnp.int32)
-    emissives = jnp.asarray([int(static.object_emissive[i]) for i in idxs],
-                            jnp.int32)
+    # Per-object STATIC int tables (material/texture rows, ids, emissive
+    # flags) must NOT materialize as constant arrays: a Pallas kernel trace
+    # cannot capture non-scalar constants ("captures constants [i32[n]]"),
+    # which silently barred the batched fold from the megakernel until r5.
+    # The values are static Python ints, so synthesize the step-k value
+    # with an affine formula (consecutive scene rows — the common case) or
+    # a scalar select chain (everything stays SMEM scalars).
+    mat_rows = [static.object_mat_rows[i] for i in idxs]
+    tex_rows = [static.object_tex_rows[i] for i in idxs]
+    obj_ids = list(idxs)
+    emissives = [int(static.object_emissive[i]) for i in idxs]
+
+    def _static_at(vals, k):
+        if len(vals) == 1:
+            return jnp.int32(vals[0])
+        stride = vals[1] - vals[0]
+        if all(v == vals[0] + stride * j for j, v in enumerate(vals)):
+            return jnp.int32(vals[0]) + jnp.int32(stride) * k
+        acc = jnp.int32(vals[0])
+        for j in range(1, len(vals)):
+            acc = jnp.where(k == j, jnp.int32(vals[j]), acc)
+        return acc
+
+    def pick(a, k):
+        return _dyn_at(a, k)
 
     zero = jnp.zeros(shape, jnp.float32)
     # init winner params = object 0 of the group (REAL params, not zeros:
@@ -608,7 +638,7 @@ def _batched_fold(cat, idxs, objects, static, ro, rd, shape, carry,
     group0 = (jnp.full(shape, C.MAX_DISTANCE, jnp.float32), aux0, win0)
 
     def body(k, c):
-        pk = jax.tree.map(lambda a: a[k], stacked)
+        pk = jax.tree.map(lambda a: pick(a, k), stacked)
 
         def do(c):
             t_best, aux, win = c
@@ -616,10 +646,13 @@ def _batched_fold(cat, idxs, objects, static, ro, rd, shape, carry,
             closer = h.t < t_best
             t_best = jnp.where(closer, h.t, t_best)
             aux = {
-                "mat_row": jnp.where(closer, mat_rows[k], aux["mat_row"]),
-                "tex_row": jnp.where(closer, tex_rows[k], aux["tex_row"]),
-                "obj_id": jnp.where(closer, obj_ids[k], aux["obj_id"]),
-                "emissive": jnp.where(closer, emissives[k],
+                "mat_row": jnp.where(closer, _static_at(mat_rows, k),
+                                     aux["mat_row"]),
+                "tex_row": jnp.where(closer, _static_at(tex_rows, k),
+                                     aux["tex_row"]),
+                "obj_id": jnp.where(closer, _static_at(obj_ids, k),
+                                    aux["obj_id"]),
+                "emissive": jnp.where(closer, _static_at(emissives, k),
                                       aux["emissive"]),
             }
             win = jax.tree.map(lambda a, b: jnp.where(closer, a, b),
@@ -753,7 +786,7 @@ def occluded(objects: tuple, static, ro: Vec3, rd: Vec3, max_t,
         stacked = _stack_group(objects, idxs)
 
         def body(k, occ32, cat=cat, stacked=stacked):
-            pk = jax.tree.map(lambda a: a[k], stacked)
+            pk = jax.tree.map(lambda a: _dyn_at(a, k), stacked)
 
             def do(occ32):
                 h = SHAPE_FNS[cat](ro, rd, pk, detail=False)
