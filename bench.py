@@ -207,6 +207,24 @@ def main():
     except Exception as e:  # pragma: no cover
         detail["vpu_ops"] = repr(e)
 
+    # Honest-throughput twin (VERDICT r4 #8): the generous convention
+    # counts 2 ray queries per bounce for EVERY lane; discount by the
+    # measured per-bounce occupancy of this exact scene
+    # (OCCUPANCY_r04.json config2_cornell_mirror alive_pct, after-bounce
+    # [100.0, 80.2, 66.4, 55.7, 47.5] -> at-bounce mean 80.5%) so
+    # cross-framework quotes have a defensible companion number.
+    alive_after = [100.0, 80.2, 66.4, 55.7, 47.5]
+    at_bounce = [100.0] + alive_after[:-1]
+    mean_alive = sum(at_bounce) / len(at_bounce) / 100.0
+    detail["honest_throughput"] = {
+        "mean_alive_at_bounce_pct": round(mean_alive * 100.0, 1),
+        "alive_weighted_mrays_fwdbwd": round(mrays_fwdbwd * mean_alive, 2),
+        "alive_weighted_mrays_fwd": round(mrays_fwd * mean_alive, 2),
+        "note": "headline x measured occupancy (OCCUPANCY_r04.json); the "
+                "generous convention stays the headline for round-to-round "
+                "comparability",
+    }
+
     try:
         if _left() > 60:
             fwd_xla, flops_fwd = compile_fn(fwd_xla_impl)

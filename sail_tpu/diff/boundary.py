@@ -1044,18 +1044,177 @@ def shadow_boundary_term(packed, static, d_loss_d_image, height: int,
     return jax.grad(edge_scalar)(packed)
 
 
+def indirect_silhouette_term(packed, static, d_loss_d_image, height: int,
+                             width: int, n_dir_samples: int = 8,
+                             n_noise: int = 2, seed: int = 0,
+                             max_bounces: int = C.MAX_BOUNCES,
+                             delta_rad: float = 6e-3):
+    """Secondary-vertex silhouette term (r5): the OTHER half of
+    one-diffuse-bounce visibility.
+
+    The pixel radiance at a matte primary hit x is ∫ f·cosθ·L_in(x, ω) dω;
+    L_in jumps across the tangent CONE of every sphere seen from x (the
+    sphere's silhouette in DIRECTION space).  Interior AD never sees that
+    jump, and it is distinct from the NEE penumbra (shadow_boundary_term):
+    it is the occluder sweeping across the BSDF-sampled segment itself.
+    Measured on the indirect-shadow FD scene: the penumbra term closes
+    ~half the FD gap and this term is the residual (r5 protos).
+
+    Per (sphere, pixel): the tangent-cone circle ω(t) = cosβ·ŵ +
+    sinβ·(e1 cos2πt + e2 sin2πt), β = arcsin(r/d), differentiable in the
+    sphere's center/radius (receiver points x are detached, like the
+    indirect penumbra receivers).  Detached coefficients: the matte BSDF ×
+    cosθ at ω, the per-pixel loss adjoint, the arc element sinβ·2π/K, and
+    Δf = L(β−δ) − L(β+δ) estimated by straddle ray pairs traced from x
+    with common random numbers (depth max_bounces−1; occlusion
+    self-gates).  The inside ray grazes the sphere (√δ geometry), so the
+    2·Δf(δ/4)−Δf(δ) extrapolation applies.  The edge scalar is
+    Σ coeff·(n̂_d·ω_live) with n̂ = ∂ω/∂β (outward in direction space).
+    """
+    from ..ops import intersect as isect
+    from ..ops import materials as mat_ops
+    from ..ops import textures as tex_ops
+
+    if not isinstance(d_loss_d_image, Vec3):
+        a = jnp.asarray(d_loss_d_image, jnp.float32)
+        d_loss_d_image = Vec3(a[..., 0], a[..., 1], a[..., 2])
+
+    sphere_ids = [i for i, cat in enumerate(static.object_categories)
+                  if cat == C.SPHERE]
+    if not sphere_ids:
+        return jax.tree.map(jnp.zeros_like, packed)
+
+    sg = jax.lax.stop_gradient
+    pk_d = jax.tree.map(sg, packed)
+
+    ii = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None],
+                          (height, width))
+    jj = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :],
+                          (height, width))
+    ro, rd = rays_for_pixels(pk_d.camera, ii, jj, height, width)
+    hit = isect.intersect_scene(pk_d.objects, static, ro, rd)
+    matte_rows = jnp.asarray([c == C.MATTE
+                              for c in static.material_categories], bool)
+    receiver = hit.valid & matte_rows[hit.mat_row] & (hit.emissive == 0)
+    x = jax.tree.map(sg, hit.p)
+    n_A = hit.n
+    dpdu_ok = hit.dpdu.length_sq() > 1e-16
+    ss = vm.where(dpdu_ok, hit.dpdu, vm.ortho(n_A)).normalize()
+    ss = (ss - n_A * ss.dot(n_A)).normalize()
+    ts_f = n_A.cross(ss)
+    wo = vm.world_to_local(-rd, n_A, ss, ts_f)
+    sc = tex_ops.surface_color(pk_d.textures, static, hit.tex_row, hit.p,
+                               hit.u, hit.v, hit.sc_override,
+                               hit.use_override)
+
+    K = n_dir_samples
+    tm = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+    ang = (2.0 * jnp.pi) * tm[:, None, None]
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    origin = x + n_A * 1e-4
+    ii_i = jnp.broadcast_to(ii.astype(jnp.int32), (K, height, width))
+    jj_i = jnp.broadcast_to(jj.astype(jnp.int32), (K, height, width))
+
+    def cone_dirs(sp, x):
+        """(ω, β, frame) of sphere sp's tangent cone from points x; ω has
+        shape (K, H, W) as a function of sp.center/sp.radius AND x."""
+        w = sp.center - x
+        d = w.length()
+        w_hat = w * (1.0 / jnp.maximum(d, 1e-9))
+        ratio = jnp.clip(sp.radius / jnp.maximum(d, 1e-9), 0.0, 1.0 - 1e-6)
+        sinb = ratio
+        cosb = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 1e-12))
+        e1 = vm.ortho(w_hat).normalize()
+        e2 = w_hat.cross(e1)
+        radial = e1 * ca + e2 * sa
+        omega = (w_hat.broadcast_to((K, height, width)) * cosb +
+                 radial * sinb)
+        # ∂ω/∂β: outward in direction space (away from the cone axis)
+        n_dir = (radial * cosb -
+                 w_hat.broadcast_to((K, height, width)) * sinb)
+        return omega, n_dir, sinb, d
+
+    saved = []
+    for i in sphere_ids:
+        sp_d = pk_d.objects[i]
+        omega_d, n_dir_d, sinb, d_cx = cone_dirs(sp_d, x)
+
+        # Δf across the cone: straddle pairs at β ∓ δ (inside hits the
+        # sphere).  Rotate ω toward/away from the axis by angle δ in the
+        # (ω, n̂) plane: ω(β±δ) = cosδ·ω ± sinδ·n̂.
+        import math
+        cd, sdl = math.cos(delta_rad), math.sin(delta_rad)
+        acc = None
+        for k in range(n_noise):
+            noise = rng.pixel_noise(seed, 60013 + k, ii=ii_i, jj=jj_i)
+            df_k = None
+            for sign, w_side in ((-1.0, 1.0), (1.0, -1.0)):
+                dirs = (omega_d * cd + n_dir_d * (sign * sdl)).normalize()
+                res = trace_rays(pk_d, static,
+                                 origin.broadcast_to((K, height, width)),
+                                 dirs, noise, max(max_bounces - 1, 1))
+                contrib = res.color * w_side
+                df_k = contrib if df_k is None else df_k + contrib
+            acc = df_k if acc is None else acc + df_k
+        df = acc * (1.0 / n_noise)
+        # √δ extrapolation: second estimate at δ/4
+        cd4, sd4 = math.cos(delta_rad / 4), math.sin(delta_rad / 4)
+        acc = None
+        for k in range(n_noise):
+            noise = rng.pixel_noise(seed, 60013 + k, ii=ii_i, jj=jj_i)
+            df_k = None
+            for sign, w_side in ((-1.0, 1.0), (1.0, -1.0)):
+                dirs = (omega_d * cd4 + n_dir_d * (sign * sd4)).normalize()
+                res = trace_rays(pk_d, static,
+                                 origin.broadcast_to((K, height, width)),
+                                 dirs, noise, max(max_bounces - 1, 1))
+                contrib = res.color * w_side
+                df_k = contrib if df_k is None else df_k + contrib
+            acc = df_k if acc is None else acc + df_k
+        df = (acc * (1.0 / n_noise)) * 2.0 - df
+
+        # matte BSDF × cosθ at the (detached) cone directions
+        wi_local = vm.world_to_local(omega_d, n_A, ss, ts_f)
+        f = mat_ops.eval_matte_f(pk_d.materials, static, hit.mat_row, sc,
+                                 wo, wi_local)
+        cos_s = jnp.maximum(omega_d.dot(n_A), 0.0)
+        w_df = (d_loss_d_image.x * f.x * df.x +
+                d_loss_d_image.y * f.y * df.y +
+                d_loss_d_image.z * f.z * df.z) * cos_s
+        dl = sinb * (2.0 * jnp.pi / K)
+        valid = (receiver & (hit.obj_id != i) &
+                 (d_cx > sp_d.radius * (1.0 + 1e-4)))
+        coeff = jnp.where(valid, w_df * dl, 0.0)
+        saved.append((i, coeff, jax.tree.map(sg, n_dir_d)))
+
+    def edge_scalar(pk):
+        total = jnp.float32(0.0)
+        for i, coeff, n_dir in saved:
+            omega_live, _, _, _ = cone_dirs(pk.objects[i], x)
+            total = total + jnp.sum(coeff * (n_dir.x * omega_live.x +
+                                             n_dir.y * omega_live.y +
+                                             n_dir.z * omega_live.z))
+        return total
+
+    return jax.grad(edge_scalar)(packed)
+
+
 def full_boundary_term(packed, static, d_loss_d_image, height: int,
                        width: int, n_edge_samples: int = 256,
                        n_noise: int = 4, seed: int = 0,
                        max_bounces: int = C.MAX_BOUNCES,
                        n_curve_samples: int = 32,
                        shadow: bool = True,
-                       n_indirect_dirs: int = 0):
+                       n_indirect_dirs: int = 0,
+                       indirect_silhouette: bool = False):
     """Silhouette + (optionally) NEE-penumbra boundary terms for an arbitrary
     per-pixel loss adjoint — the complete edge-gradient correction the
     framework currently models.  Returns a pytree shaped like `packed`.
     `n_indirect_dirs` > 0 additionally models indirect (one-diffuse-bounce)
-    shadow boundaries (see shadow_boundary_term)."""
+    shadow boundaries; `indirect_silhouette` adds the secondary-vertex
+    silhouette term (the occluder sweeping the BSDF segment itself — the
+    other half of one-diffuse-bounce visibility, see
+    indirect_silhouette_term)."""
     bnd = boundary_term(packed, static, d_loss_d_image, height, width,
                         n_edge_samples=n_edge_samples, n_noise=n_noise,
                         seed=seed, max_bounces=max_bounces)
@@ -1064,6 +1223,11 @@ def full_boundary_term(packed, static, d_loss_d_image, height: int,
                                    width, n_curve_samples=n_curve_samples,
                                    seed=seed, n_indirect_dirs=n_indirect_dirs)
         bnd = jax.tree.map(lambda a, b: a + b, bnd, shd)
+    if indirect_silhouette:
+        sil2 = indirect_silhouette_term(packed, static, d_loss_d_image,
+                                        height, width, seed=seed,
+                                        max_bounces=max_bounces)
+        bnd = jax.tree.map(lambda a, b: a + b, bnd, sil2)
     return bnd
 
 

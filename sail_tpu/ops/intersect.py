@@ -454,6 +454,21 @@ SHAPE_FNS = {
 # fori_loop over stacked params — compile time flat in object count).
 BATCH_THRESHOLD = 8
 
+# Set (and restored) by the Pallas megakernel around its kernel trace: the
+# winner-fold then runs its object loop PYTHON-UNROLLED with static row
+# lookups instead of fori_loop + dynamic picks — inside Mosaic the dynamic
+# pick needs cross-lane reduces on 1-vreg arrays (the slow small-geometry
+# regime, docs/PERF.md §3) and measured ~1.6x slower than XLA's batched
+# fold; unrolled, per-step params are direct scalars.  Compile time grows
+# with object count again, but Mosaic compiles are seconds on this relay.
+IN_KERNEL_TRACE = False
+
+# Unroll cap for in-kernel groups: at 256 unrolled spheres the Mosaic
+# remote compile crashes outright (tpu_compile_helper exit 1, r5) —
+# groups above this fall back to the fori+dynamic-pick fold (slower per
+# ray, but it compiles and stays flat in object count).
+KERNEL_UNROLL_MAX = 128
+
 
 def object_aabb(cat: int, p):
     """Conservative world AABB of one packed shape, for the per-object
@@ -576,7 +591,7 @@ def _fold_one(cat, params, i, static, ro, rd, shape, carry,
 
 
 def _batched_fold(cat, idxs, objects, static, ro, rd, shape, carry,
-                  cull: bool):
+                  cull: bool, unroll: bool = False):
     """One fori_loop over a stacked same-category group: ONE compiled
     kernel chain regardless of group size (compile time flat in object
     count — VERDICT r2 missing #4), with an optional per-object AABB cull
@@ -611,6 +626,8 @@ def _batched_fold(cat, idxs, objects, static, ro, rd, shape, carry,
     emissives = [int(static.object_emissive[i]) for i in idxs]
 
     def _static_at(vals, k):
+        if isinstance(k, int):           # unrolled loop: direct lookup
+            return jnp.int32(vals[k])
         if len(vals) == 1:
             return jnp.int32(vals[0])
         stride = vals[1] - vals[0]
@@ -622,6 +639,8 @@ def _batched_fold(cat, idxs, objects, static, ro, rd, shape, carry,
         return acc
 
     def pick(a, k):
+        if isinstance(k, int):           # static index: always legal
+            return a[k]
         return _dyn_at(a, k)
 
     zero = jnp.zeros(shape, jnp.float32)
@@ -637,36 +656,88 @@ def _batched_fold(cat, idxs, objects, static, ro, rd, shape, carry,
     }
     group0 = (jnp.full(shape, C.MAX_DISTANCE, jnp.float32), aux0, win0)
 
-    def body(k, c):
+    def fold_obj(k, c):
         pk = jax.tree.map(lambda a: pick(a, k), stacked)
+        t_best, aux, win = c
+        h = SHAPE_FNS[cat](ro, rd, pk, detail=False)
+        closer = h.t < t_best
+        t_best = jnp.where(closer, h.t, t_best)
+        aux = {
+            "mat_row": jnp.where(closer, _static_at(mat_rows, k),
+                                 aux["mat_row"]),
+            "tex_row": jnp.where(closer, _static_at(tex_rows, k),
+                                 aux["tex_row"]),
+            "obj_id": jnp.where(closer, _static_at(obj_ids, k),
+                                aux["obj_id"]),
+            "emissive": jnp.where(closer, _static_at(emissives, k),
+                                  aux["emissive"]),
+        }
+        win = jax.tree.map(lambda a, b: jnp.where(closer, a, b),
+                           pk, win)
+        return (t_best, aux, win)
 
-        def do(c):
-            t_best, aux, win = c
-            h = SHAPE_FNS[cat](ro, rd, pk, detail=False)
-            closer = h.t < t_best
-            t_best = jnp.where(closer, h.t, t_best)
-            aux = {
-                "mat_row": jnp.where(closer, _static_at(mat_rows, k),
-                                     aux["mat_row"]),
-                "tex_row": jnp.where(closer, _static_at(tex_rows, k),
-                                     aux["tex_row"]),
-                "obj_id": jnp.where(closer, _static_at(obj_ids, k),
-                                    aux["obj_id"]),
-                "emissive": jnp.where(closer, _static_at(emissives, k),
-                                      aux["emissive"]),
-            }
-            win = jax.tree.map(lambda a, b: jnp.where(closer, a, b),
-                               pk, win)
-            return (t_best, aux, win)
+    def body(k, c):
+        if not cull:
+            return fold_obj(k, c)
+        pk = jax.tree.map(lambda a: pick(a, k), stacked)
+        amin, amax = object_aabb(cat, pk)
+        tn, tf = _slab(ro, rd, amin, amax)
+        possible = jnp.any((tn < tf) & (tf > C.EPSILON) & (tn < c[0]))
+        return jax.lax.cond(possible, lambda c: fold_obj(k, c),
+                            lambda c: c, c)
 
+    def _cluster_aabb(sub):
+        amin = amax = None
+        for k in sub:
+            pk = jax.tree.map(lambda a: a[k], stacked)
+            a0, a1 = object_aabb(cat, pk)
+            if amin is None:
+                amin, amax = a0, a1
+            else:
+                amin = Vec3(jnp.minimum(amin.x, a0.x),
+                            jnp.minimum(amin.y, a0.y),
+                            jnp.minimum(amin.z, a0.z))
+                amax = Vec3(jnp.maximum(amax.x, a1.x),
+                            jnp.maximum(amax.y, a1.y),
+                            jnp.maximum(amax.z, a1.z))
+        return amin, amax
+
+    if unroll:
+        # Inside a Mosaic kernel the fori_loop's dynamic pick costs
+        # cross-lane reduces on 1-vreg arrays — the slow small-geometry
+        # regime (docs/PERF.md §3); a Python-unrolled loop gives every
+        # step DIRECT scalar params and static row lookups at zero pick
+        # cost (measured: fori+pick 0.073 s vs XLA 0.047 at 16 spheres,
+        # 512^2x8spp; compile time is the tradeoff and Mosaic compiles
+        # are seconds on this relay).
+        c = group0
         if cull:
-            amin, amax = object_aabb(cat, pk)
-            tn, tf = _slab(ro, rd, amin, amax)
-            possible = jnp.any((tn < tf) & (tf > C.EPSILON) & (tn < c[0]))
-            return jax.lax.cond(possible, do, lambda c: c, c)
-        return do(c)
+            # CLUSTER-level cull: one cond per ~CLUSTER scene-order-
+            # adjacent objects (a per-OBJECT cond was measured 2.5x slower
+            # at 64 objects — Mosaic cond overhead dominates).  Cluster
+            # membership must be static, so it uses scene ORDER; builders
+            # that add objects in spatial order (grids, meshes) get
+            # spatially tight cluster AABBs.
+            CLUSTER = 8
+            for c0 in range(0, len(idxs), CLUSTER):
+                sub = list(range(c0, min(c0 + CLUSTER, len(idxs))))
+                amin, amax = _cluster_aabb(sub)
+                tn, tf = _slab(ro, rd, amin, amax)
+                possible = jnp.any((tn < tf) & (tf > C.EPSILON)
+                                   & (tn < c[0]))
 
-    t_group, aux_g, win = jax.lax.fori_loop(0, len(idxs), body, group0)
+                def do(c, sub=sub):
+                    for k in sub:
+                        c = fold_obj(k, c)
+                    return c
+
+                c = jax.lax.cond(possible, do, lambda c: c, c)
+        else:
+            for k in range(len(idxs)):
+                c = fold_obj(k, c)
+        t_group, aux_g, win = c
+    else:
+        t_group, aux_g, win = jax.lax.fori_loop(0, len(idxs), body, group0)
 
     # ONE detail pass from the per-lane winning parameters.  The detail
     # kernel repeats the same ops on the same values, but it compiles in a
@@ -704,15 +775,21 @@ def intersect_scene(objects: tuple, static, ro: Vec3, rd: Vec3,
 
     Categories with < BATCH_THRESHOLD objects use the static unrolled fold
     (one fused kernel chain per object, bit-stable — the reference-scale
-    path).  Larger categories switch to the batched fori_loop fold so
-    compile time stays flat in object count.
+    path).  Larger categories switch to the batched winner-fold; inside a
+    Mosaic kernel trace (IN_KERNEL_TRACE, set by the megakernel) the fold
+    is PYTHON-UNROLLED up to KERNEL_UNROLL_MAX objects — measured 1.6x
+    faster in-kernel than fori+dynamic-pick and 2.7x faster than the XLA
+    batched path at 64 spheres (MANYOBJ_r05.json) — and fori_loop
+    otherwise (compile time flat in object count).
 
-    `cull` (default OFF) adds the per-object AABB cull to batched groups:
-    a lax.cond skips an object when no lane in the current batch can hit
-    its bound box.  Opt-in because it only pays when the evaluation batch
-    is a small tile AND objects are spatially localized; on whole-image
-    XLA evaluation the any-reduce is always true and the cond just costs
-    (measured 1.7x slower at 512^2/64 spheres, MANYOBJ_r03.json)."""
+    `cull` (default OFF) adds the AABB cond-cull to batched groups —
+    per-object under fori, per 8-object CLUSTER when unrolled.  It is a
+    MEASURED NEGATIVE everywhere tried on this hardware (whole-image XLA:
+    any-reduce always true, 1.7x slower at 64 spheres MANYOBJ_r03;
+    in-kernel per-object conds 1.7-2.5x slower; in-kernel cluster conds
+    8-38% slower, MANYOBJ_r05) — the Mosaic cond cost inside the
+    spp/bounce loops exceeds the skipped intersection work.  Kept opt-in
+    for future hardware where branch cost may drop."""
     shape = jnp.broadcast_shapes(ro.shape, rd.shape)
     ro = ro.broadcast_to(shape)
     rd = rd.broadcast_to(shape)
@@ -739,8 +816,9 @@ def intersect_scene(objects: tuple, static, ro: Vec3, rd: Vec3,
             carry = _fold_one(cat, objects[i], i, static, ro, rd, shape,
                               carry)
     for cat in batched_cats:
-        carry = _batched_fold(cat, groups[cat], objects, static, ro, rd,
-                              shape, carry, cull)
+        carry = _batched_fold(
+            cat, groups[cat], objects, static, ro, rd, shape, carry, cull,
+            unroll=IN_KERNEL_TRACE and len(groups[cat]) <= KERNEL_UNROLL_MAX)
     best, best_aux = carry
 
     into = best.ng.dot(rd) < -C.EPSILON
@@ -786,7 +864,10 @@ def occluded(objects: tuple, static, ro: Vec3, rd: Vec3, max_t,
         stacked = _stack_group(objects, idxs)
 
         def body(k, occ32, cat=cat, stacked=stacked):
-            pk = jax.tree.map(lambda a: _dyn_at(a, k), stacked)
+            if isinstance(k, int):
+                pk = jax.tree.map(lambda a: a[k], stacked)
+            else:
+                pk = jax.tree.map(lambda a: _dyn_at(a, k), stacked)
 
             def do(occ32):
                 h = SHAPE_FNS[cat](ro, rd, pk, detail=False)
@@ -801,7 +882,49 @@ def occluded(objects: tuple, static, ro: Vec3, rd: Vec3, max_t,
                 return jax.lax.cond(possible, do, lambda o: o, occ32)
             return do(occ32)
 
-        occ32 = jax.lax.fori_loop(0, len(idxs), body,
-                                  occ.astype(jnp.int32))
+        if IN_KERNEL_TRACE and len(idxs) <= KERNEL_UNROLL_MAX:
+            occ32 = occ.astype(jnp.int32)
+
+            def shadow_obj(k, occ32):
+                pk = jax.tree.map(lambda a: a[k], stacked)
+                h = SHAPE_FNS[cat](ro, rd, pk, detail=False)
+                return occ32 | ((h.t > C.EPSILON)
+                                & (h.t < max_t)).astype(jnp.int32)
+
+            if cull:
+                # cluster-level cond, mirroring the closest-hit fold
+                CLUSTER = 8
+                for c0 in range(0, len(idxs), CLUSTER):
+                    sub = list(range(c0, min(c0 + CLUSTER, len(idxs))))
+                    amin = amax = None
+                    for k in sub:
+                        pk = jax.tree.map(lambda a: a[k], stacked)
+                        a0, a1 = object_aabb(cat, pk)
+                        if amin is None:
+                            amin, amax = a0, a1
+                        else:
+                            amin = Vec3(jnp.minimum(amin.x, a0.x),
+                                        jnp.minimum(amin.y, a0.y),
+                                        jnp.minimum(amin.z, a0.z))
+                            amax = Vec3(jnp.maximum(amax.x, a1.x),
+                                        jnp.maximum(amax.y, a1.y),
+                                        jnp.maximum(amax.z, a1.z))
+                    tn, tf = _slab(ro, rd, amin, amax)
+                    reachable = ((tn < tf) & (tf > C.EPSILON)
+                                 & (tn < max_t))
+                    possible = jnp.any(reachable & (occ32 == 0))
+
+                    def do(o, sub=sub):
+                        for k in sub:
+                            o = shadow_obj(k, o)
+                        return o
+
+                    occ32 = jax.lax.cond(possible, do, lambda o: o, occ32)
+            else:
+                for k in range(len(idxs)):
+                    occ32 = shadow_obj(k, occ32)
+        else:
+            occ32 = jax.lax.fori_loop(0, len(idxs), body,
+                                      occ.astype(jnp.int32))
         occ = occ32 != 0
     return occ

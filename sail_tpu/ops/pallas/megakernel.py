@@ -237,19 +237,25 @@ def render_block_pallas(packed, static, height: int, width: int, spp: int,
                                          vma=frozenset(vma))
     block = pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(height // tile_rows, width // tile_cols),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(block, block, block),
-        out_shape=(out_shape, out_shape, out_shape),
-        interpret=interpret,
-    )(params, seed_arr, sample_arr, row0_arr)
+    from ...ops import intersect as _isect
+    saved_flag = _isect.IN_KERNEL_TRACE
+    _isect.IN_KERNEL_TRACE = True   # unrolled winner-fold in-kernel
+    try:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(height // tile_rows, width // tile_cols),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(block, block, block),
+            out_shape=(out_shape, out_shape, out_shape),
+            interpret=interpret,
+        )(params, seed_arr, sample_arr, row0_arr)
+    finally:
+        _isect.IN_KERNEL_TRACE = saved_flag
     return Vec3(*outs)
 
 
@@ -463,21 +469,27 @@ def render_grad_block_pallas(packed, static, g: Vec3, height: int, width: int,
                                          vma=frozenset(vma))
     gblock = pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j),
                           memory_space=pltpu.VMEM)
-    dout = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            gblock, gblock, gblock,
-        ],
-        out_specs=pl.BlockSpec((1, n_leaves), lambda i, j: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=out_shape,
-        interpret=interpret,
-    )(params, seed_arr, sample_arr, row0_arr, g.x, g.y, g.z)
+    from ...ops import intersect as _isect
+    saved_flag = _isect.IN_KERNEL_TRACE
+    _isect.IN_KERNEL_TRACE = True   # unrolled winner-fold in-kernel
+    try:
+        dout = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                gblock, gblock, gblock,
+            ],
+            out_specs=pl.BlockSpec((1, n_leaves), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, seed_arr, sample_arr, row0_arr, g.x, g.y, g.z)
+    finally:
+        _isect.IN_KERNEL_TRACE = saved_flag
     leaves = [dout[0, i] for i in range(n_leaves)]
     return jax.tree.unflatten(treedef, leaves)
 

@@ -54,6 +54,7 @@ class Renderer:
         self._sample_fn = None
         self._batch_fns = {}      # (spp, early_exit) -> jitted batch
         self._gbuffer_ok = False
+        self._use_fallback = False   # set when the megakernel can't compile
 
     @property
     def early_exit(self) -> bool:
@@ -123,7 +124,7 @@ class Renderer:
         (the whole sample batch runs in VMEM), identical results to `spp`
         calls of :meth:`render`; the G-buffer is filled lazily when a
         filter needs it."""
-        if not _use_megakernel():
+        if not _use_megakernel() or self._use_fallback:
             for _ in range(spp):
                 self.render(scene)
             return
@@ -145,8 +146,19 @@ class Renderer:
                 lambda p, s0: render_block_pallas(p, static, h, w, spp, seed,
                                                   s0, b, tile_cols=tc,
                                                   early_exit=ee))
-        acc = self._batch_fns[key](self._packed,
-                                   jnp.int32(self.sample_count))
+        try:
+            acc = self._batch_fns[key](self._packed,
+                                       jnp.int32(self.sample_count))
+        except Exception:
+            # Mosaic can refuse very large scenes (the remote compiler
+            # crashes beyond ~KERNEL_UNROLL_MAX objects per category,
+            # measured r5 at 256 spheres); fall back to the per-sample
+            # XLA path permanently for this renderer.
+            del self._batch_fns[key]
+            self._use_fallback = True
+            for _ in range(spp):
+                self.render(scene)
+            return
         self._accum = self._accum + acc
         self._gbuffer_ok = False
         self.sample_count += spp

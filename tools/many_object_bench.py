@@ -83,11 +83,15 @@ def main():
             cull = mode.endswith("_cull")
 
             if mode.startswith("pallas"):
-                # The per-tile broad phase: inside the megakernel the
-                # batch IS one (8, tile_cols) tile, so the cull's
-                # any-reduce prunes per tile — the XLA whole-image path's
-                # reduce is always true and its cond is pure overhead
-                # (r3/r4 measurements).
+                # In-kernel path (r5): the winner-fold runs PYTHON-
+                # UNROLLED inside the megakernel (intersect.IN_KERNEL_
+                # TRACE) — direct scalar params, no fori+dynamic-pick
+                # (the pick's cross-lane reduces measured 1.6x slower
+                # than XLA at 16 spheres).  pallas_cull adds CLUSTER-
+                # level AABB conds (8 objects per cond): measured a NET
+                # LOSS at <=64 objects (cond cost inside the spp/bounce
+                # loops dominates the skipped quadratics) — kept opt-in
+                # and benchmarked honestly here.
                 def impl(p, seed, cull=cull):
                     img = render_block_pallas(
                         p, static, h, w, args.spp, seed, 0,
