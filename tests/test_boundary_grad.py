@@ -833,3 +833,89 @@ def test_indirect_shadow_smoke_baked():
     g_ind = (float(shd1.objects[2].center.x) -
              float(shd0.objects[2].center.x))
     assert g_ind == pytest.approx(0.00377, rel=0.15), g_ind
+
+
+def _secondary_sil_scene(dx=0.0):
+    """Secondary-vertex silhouette dominant: a side-lit matte sphere BEHIND
+    the camera, seen only through the back wall's diffuse bounce.  Interior
+    AD (hit-point shading motion) and the silhouette sweep nearly cancel;
+    the wrong-sign interior-only estimate is 7x the true FD value."""
+    s = sail.Scene()
+    s.add(sail.Camera([0.0, 0.0, 2.5], [0.0, 0.0, 0.0]))
+    s.add(sail.Rectangle([-1.4, -1.4, -1.0], [1.4, 1.4, -1.0],
+                         sail.Matte(kd=0.9)))
+    s.add(sail.Sphere([0.3 + dx, 0.0, 3.2], 0.5, sail.Matte(kd=0.8)))
+    s.add(sail.AreaLight(sail.Rectangle([-3.4, 2.2, 2.2], [-1.2, 2.2, 4.2],
+                                        sail.Matte()), [10.0, 10.0, 10.0]))
+    return s
+
+
+@pytest.mark.slow
+def test_secondary_vertex_silhouette_matches_fd():
+    """indirect_silhouette_term (r5): FD vs interior + the direction-space
+    silhouette boundary at one-diffuse-bounce receivers.  Proto (64^2,
+    160 spp, 3 seeds, 2026-08-21): fd=-0.000532, int=+0.00387 (wrong sign
+    alone), s2=-0.00463 -> total -0.00076."""
+    from sail_tpu.diff.boundary import indirect_silhouette_term
+
+    hb = wb = 64
+    sppb, bounces = 160, 2
+    ramp = jnp.linspace(0.25, 2.0, wb)[None, :] * jnp.ones((hb, 1))
+
+    def make(sc):
+        packed, static = sc.pack()
+
+        @jax.jit
+        def loss(pk, seed):
+            img = render_image(pk, static, hb, wb, sppb, seed=seed,
+                               max_bounces=bounces)
+            return ((img.x + img.y + img.z) * ramp).mean() / 3.0, img
+        return packed, static, loss
+
+    packed, static, loss = make(_secondary_sil_scene())
+    eps = 0.05
+    fds = []
+    for seed in (3, 13, 23):
+        lp, _ = make(_secondary_sil_scene(dx=+eps))[2](
+            make(_secondary_sil_scene(dx=+eps))[0], seed)
+        lm, _ = make(_secondary_sil_scene(dx=-eps))[2](
+            make(_secondary_sil_scene(dx=-eps))[0], seed)
+        fds.append((float(lp) - float(lm)) / (2 * eps))
+    g_fd = float(np.mean(fds))
+
+    ints = []
+    for seed in (3, 13, 23):
+        interior, _ = jax.grad(lambda p, s=seed: loss(p, s),
+                               has_aux=True)(packed)
+        ints.append(float(interior.objects[1].center.x))
+    g_int = float(np.mean(ints))
+
+    wn = ramp / (3.0 * hb * wb)
+    s2 = indirect_silhouette_term(packed, static, Vec3(wn, wn, wn), hb, wb,
+                                  n_dir_samples=16, n_noise=2, seed=11,
+                                  max_bounces=bounces)
+    g_s2 = float(s2.objects[1].center.x)
+
+    assert abs(g_fd) > 2e-4
+    # interior alone has the WRONG SIGN and ~7x magnitude
+    assert g_int * g_fd < 0
+    tot = g_int + g_s2
+    assert abs(tot - g_fd) < 0.25 * abs(g_int - g_fd), \
+        f"fd={g_fd} int={g_int} s2={g_s2} tot={tot}"
+
+
+def test_secondary_vertex_silhouette_smoke_baked():
+    """FAST guard for indirect_silhouette_term: baked value at 32^2
+    (recorded 2026-08-21 after the FD twin passed)."""
+    from sail_tpu.diff.boundary import indirect_silhouette_term
+
+    h = w = 32
+    packed, static = _secondary_sil_scene().pack()
+    ramp = jnp.linspace(0.25, 2.0, w)[None, :] * jnp.ones((h, 1))
+    wn = ramp / (3.0 * h * w)
+    s2 = indirect_silhouette_term(packed, static, Vec3(wn, wn, wn), h, w,
+                                  n_dir_samples=8, n_noise=1, seed=11,
+                                  max_bounces=2)
+    gx = float(s2.objects[1].center.x)
+    assert gx < 0, gx
+    assert gx == pytest.approx(-0.0043837, rel=0.15), gx
