@@ -145,3 +145,22 @@ def test_opcount_integrator():
     unknown = {}
     opcount.count_jaxpr(jax.make_jaxpr(one)(packed), unknown=unknown)
     assert unknown == {}, unknown
+
+
+def test_sanitize_check_finite_and_bit_equal():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from sail_tpu.utils.sanitize import (assert_trees_bit_equal,
+                                         check_finite)
+
+    good = {"a": jnp.ones(4), "b": (jnp.zeros(2), jnp.float32(1.0))}
+    assert check_finite(good) == []
+    bad = {"a": jnp.array([1.0, jnp.nan])}
+    with _pytest.raises(FloatingPointError):
+        check_finite(bad, "grads")
+    assert len(check_finite(bad, raise_error=False)) == 1
+
+    assert_trees_bit_equal(good, good)
+    with _pytest.raises(AssertionError):
+        assert_trees_bit_equal({"a": jnp.ones(3)}, {"a": jnp.zeros(3)})
