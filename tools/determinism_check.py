@@ -9,8 +9,14 @@ framework's invariants make all of that checkable exactly:
                   RNG + deterministic accumulation; any on-chip race in
                   the megakernel's sequential-grid accumulation would
                   break this).
-  2. chunking   — one 8-spp dispatch vs two 4-spp dispatches summed must
-                  be bit-identical (HBM accumulation associates the same).
+  2. chunking   — one 8-spp dispatch vs two 4-spp dispatches summed: NOT
+                  bit-identical BY DESIGN (the kernel folds samples
+                  sequentially; re-chunking re-associates the f32 sum —
+                  measured 247k/786k values differing at ~ulp scale), so
+                  the check is tight allclose + a repeatability check of
+                  the chunked sum itself.  The elastic bit-identity
+                  contract is the different, stronger one the tests pin:
+                  FIXED chunks are bit-stable across mesh shrinks.
   3. tiling     — different Pallas tile shapes must be bit-identical
                   (lanes never interact; a cross-tile race would differ).
   4. grad_repeat— the Pallas backward twice: parameter gradients
@@ -70,12 +76,18 @@ def main():
     out["repeat_bit_identical"] = eq
     out["repeat_mismatched_values"] = n
 
-    # 2. chunking: spp split across dispatches
+    # 2. chunking: spp split across dispatches — allclose (re-chunking
+    # re-associates the f32 sample sum) + bit-repeatability of the
+    # chunked sum (the actual race check)
     half = args.spp // 2
     c = render(half, 0) + render(half, half)
-    eq, n = bitcmp(a, c)
-    out["chunking_bit_identical"] = eq
-    out["chunking_mismatched_values"] = n
+    c2 = render(half, 0) + render(half, half)
+    md = float(np.abs(a - c).max() / max(np.abs(a).max(), 1e-9))
+    out["chunking_allclose_rel"] = md
+    out["chunking_allclose_pass"] = bool(md < 1e-5)
+    eq, n = bitcmp(c, c2)
+    out["chunking_repeat_bit_identical"] = eq
+    out["chunking_repeat_mismatched_values"] = n
 
     # 3. tiling
     d = render(args.spp, tile_cols=128)
@@ -98,7 +110,8 @@ def main():
     out["grad_repeat_bit_identical"] = eq
     out["grad_repeat_mismatched_values"] = n
 
-    out["all_pass"] = all(out[k] for k in out if k.endswith("identical"))
+    out["all_pass"] = (all(out[k] for k in out if k.endswith("identical"))
+                       and out["chunking_allclose_pass"])
     out["seconds_total"] = round(time.time() - t0, 1)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
